@@ -1,0 +1,262 @@
+"""Synthetic power-system trajectory generator (PSOPS stand-in).
+
+The reference's training data comes from the external C++ PSOPS simulator via
+an unobtainable download (``/root/reference/README.md:38-42``), so this module
+generates physically-meaningful samples in the same ``.npz`` schema
+(SURVEY.md §2.7) for tests, training demos, and benchmarks:
+
+  * :func:`generate_avr_samples` — neural-ODE target: a PSASP-Type-1-style
+    excitation system (AVR), states ``x = [xr, Efd]``, inputs
+    ``z = [Vt, Vref]``, with a terminal-voltage dip/recovery disturbance
+    (two events).
+  * :func:`generate_smib_dae_samples` — neural-DAE target: a classical
+    2nd-order generator on a single-machine-infinite-bus network, states
+    ``x = [delta, omega]``, input ``z = [Pm]``, algebraic bus voltage
+    ``v = [vx, vy]`` and injected current ``i = [ix, iy]``, with a fault-on /
+    fault-clear disturbance. Unstable swings are truncated with the
+    reference's ``-1`` time padding and zeroed mask.
+
+Event-stream convention (pinned to ``my_solvers.py:70-72,108-110``): the
+recorded stream holds the *pre-jump* (left-limit) value at an event index;
+``*_jump`` holds the post-jump value that the solver substitutes for the step
+starting at that time. Ground-truth dynamics use post-jump inputs from the
+event time onward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from py_psnode_tpu.data.schema import save_dae_samples, save_ode_samples
+
+OMEGA_B = 2.0 * np.pi * 50.0
+
+
+def generate_avr_samples(
+    n_samples: int,
+    n_steps: int = 1001,
+    dt: float = 0.01,
+    seed: int = 0,
+    substeps: int = 10,
+):
+    """Vectorized RK4 simulation of a two-state AVR under a voltage dip.
+
+    Dynamics: ``dxr/dt = (Ka*(Vref - Vt) - xr)/Ta``,
+    ``dEfd/dt = (xr - Efd)/Te``.
+
+    Returns a dict of arrays in the ODE ``.npz`` schema.
+    """
+    rng = np.random.default_rng(seed)
+    N, T = n_samples, n_steps
+    t = np.arange(T) * dt
+    ka = rng.uniform(20.0, 60.0, (N, 1))
+    ta = rng.uniform(0.05, 0.2, (N, 1))
+    te = rng.uniform(0.3, 1.0, (N, 1))
+    vref = rng.uniform(0.98, 1.05, (N, 1))
+    v_pre = rng.uniform(0.98, 1.04, (N, 1))
+    v_fault = rng.uniform(0.3, 0.7, (N, 1))
+    v_post = rng.uniform(0.92, 1.02, (N, 1))
+
+    # grid-aligned fault-on / clear times, varied per sample
+    f_idx = rng.integers(int(0.5 / dt), int(1.5 / dt), (N, 1))
+    dur = rng.integers(int(0.08 / dt), int(0.2 / dt), (N, 1))
+    c_idx = f_idx + np.maximum(dur, 1)
+    t_f = f_idx * dt
+    t_c = c_idx * dt
+
+    steps = np.arange(T)[None, :]
+    # right-continuous Vt(t) used by the true dynamics
+    vt_rc = np.where(
+        steps < f_idx, v_pre, np.where(steps < c_idx, v_fault, v_post)
+    )
+    # left-limit stream recorded in the data
+    vt_stream = np.where(
+        steps <= f_idx, v_pre, np.where(steps <= c_idx, v_fault, v_post)
+    )
+
+    # steady-state init: xr = Ka*(Vref - Vt0), Efd = xr
+    xr = ka * (vref - v_pre)
+    efd = xr.copy()
+    x = np.zeros((N, T, 2))
+    x[:, 0, 0], x[:, 0, 1] = xr[:, 0], efd[:, 0]
+
+    h = dt / substeps
+    for j in range(1, T):
+        vt = vt_rc[:, j - 1 : j]
+        for _ in range(substeps):
+            def f(xr_, efd_):
+                return (ka * (vref - vt) - xr_) / ta, (xr_ - efd_) / te
+            k1 = f(xr, efd)
+            k2 = f(xr + 0.5 * h * k1[0], efd + 0.5 * h * k1[1])
+            k3 = f(xr + 0.5 * h * k2[0], efd + 0.5 * h * k2[1])
+            k4 = f(xr + h * k3[0], efd + h * k3[1])
+            xr = xr + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            efd = efd + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        x[:, j, 0], x[:, j, 1] = xr[:, 0], efd[:, 0]
+
+    z = np.stack([vt_stream, np.broadcast_to(vref, (N, T))], axis=-1)
+    event_t = np.concatenate([t_f, t_c], axis=1)
+    # post-jump z at each event: [Vt_post, Vref]
+    z_jump = np.stack(
+        [
+            np.concatenate([v_fault, v_post], axis=1),
+            np.broadcast_to(vref, (N, 2)),
+        ],
+        axis=-1,
+    )
+    return dict(
+        t=t[None, :, None].repeat(N, 0),
+        x=x,
+        z=z,
+        event_t=event_t,
+        z_jump=z_jump,
+        mask=np.ones_like(x),
+        name=[("xr", "p.u."), ("Efd", "p.u.")],
+    )
+
+
+def generate_smib_dae_samples(
+    n_samples: int,
+    n_steps: int = 1001,
+    dt: float = 0.01,
+    seed: int = 0,
+    substeps: int = 10,
+    unstable_cut: float = 3.0 * np.pi,
+):
+    """Vectorized RK4 simulation of a classical generator on a SMIB network.
+
+    Swing: ``d(delta)/dt = OMEGA_B * omega``,
+    ``d(omega)/dt = (Pm - Pe - D*omega) / (2H)`` with
+    ``Pe = Re(E' e^{j delta} * conj(i))`` and the closed-form network solve
+    ``i = (E' e^{j delta} - Vinf) / j(Xdp + Xl)``, ``v = Vinf + j Xl i``.
+
+    Disturbance: the infinite-bus voltage dips at ``t_f`` (fault) and recovers
+    at ``t_c`` (clear). Trajectories whose angle exceeds ``unstable_cut`` are
+    truncated with ``-1`` time padding and zeroed mask (the reference's
+    early-termination convention).
+    """
+    rng = np.random.default_rng(seed)
+    N, T = n_samples, n_steps
+    t = np.arange(T) * dt
+    H = rng.uniform(3.0, 8.0, N)
+    D = rng.uniform(0.5, 2.0, N)
+    xdp = rng.uniform(0.2, 0.4, N)
+    xl = rng.uniform(0.3, 0.6, N)
+    pm = rng.uniform(0.4, 1.0, N)
+    q0 = rng.uniform(0.0, 0.3, N)
+    vinf_pre = np.ones(N)
+    vinf_fault = rng.uniform(0.05, 0.5, N)
+    vinf_post = rng.uniform(0.9, 1.0, N)
+
+    f_idx = rng.integers(int(0.5 / dt), int(1.5 / dt), N)
+    dur = rng.integers(int(0.08 / dt), int(0.25 / dt), N)
+    c_idx = f_idx + np.maximum(dur, 1)
+    t_f, t_c = f_idx * dt, c_idx * dt
+
+    # steady-state initialization from the pre-fault power flow
+    xt = xdp + xl
+    i0c = (pm - 1j * q0) / vinf_pre  # current into infinite bus
+    e_c = vinf_pre + 1j * xt * i0c
+    ep = np.abs(e_c)
+    delta = np.angle(e_c)
+    omega = np.zeros(N)
+
+    def network(delta_, vinf_):
+        e = ep * np.exp(1j * delta_)
+        ic = (e - vinf_) / (1j * xt)
+        vc = vinf_ + 1j * xl * ic
+        pe = (e * np.conj(ic)).real
+        return ic, vc, pe
+
+    x = np.zeros((N, T, 2))
+    v = np.zeros((N, T, 2))
+    i = np.zeros((N, T, 2))
+    steps = np.arange(T)
+    h = dt / substeps
+
+    def vinf_at(j, right_continuous):
+        if right_continuous:
+            return np.where(j < f_idx, vinf_pre, np.where(j < c_idx, vinf_fault, vinf_post))
+        return np.where(j <= f_idx, vinf_pre, np.where(j <= c_idx, vinf_fault, vinf_post))
+
+    for j in range(T):
+        vinf_ll = vinf_at(j, right_continuous=False)
+        ic, vc, _ = network(delta, vinf_ll)
+        x[:, j, 0], x[:, j, 1] = delta, omega
+        v[:, j, 0], v[:, j, 1] = vc.real, vc.imag
+        i[:, j, 0], i[:, j, 1] = ic.real, ic.imag
+        if j == T - 1:
+            break
+        vinf_rc = vinf_at(j, right_continuous=True)
+        for _ in range(substeps):
+            def f(d_, w_):
+                _, _, pe = network(d_, vinf_rc)
+                return OMEGA_B * w_, (pm - pe - D * w_) / (2.0 * H)
+            k1 = f(delta, omega)
+            k2 = f(delta + 0.5 * h * k1[0], omega + 0.5 * h * k1[1])
+            k3 = f(delta + 0.5 * h * k2[0], omega + 0.5 * h * k2[1])
+            k4 = f(delta + h * k3[0], omega + h * k3[1])
+            delta = delta + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            omega = omega + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+
+    tt = np.broadcast_to(t[None, :], (N, T)).copy()
+    mask = np.ones((N, T, 1))
+    # truncate unstable swings: -1 padding + zero mask from first excursion
+    over = np.abs(x[:, :, 0]) > unstable_cut
+    for n in np.nonzero(over.any(axis=1))[0]:
+        j0 = int(np.argmax(over[n]))
+        tt[n, j0:] = -1.0
+        mask[n, j0:] = 0.0
+
+    event_t = np.stack([t_f, t_c], axis=1)
+    z = np.broadcast_to(pm[:, None, None], (N, T, 1)).copy()
+    z_jump = np.broadcast_to(pm[:, None, None], (N, 2, 1)).copy()
+    # post-jump terminal voltage at each event time
+    v_jump = np.zeros((N, 2, 2))
+    for e, idx in enumerate((f_idx, c_idx)):
+        d_at = x[np.arange(N), np.minimum(idx, T - 1), 0]
+        vinf_e = vinf_fault if e == 0 else vinf_post
+        _, vc, _ = network(d_at, vinf_e)
+        v_jump[:, e, 0], v_jump[:, e, 1] = vc.real, vc.imag
+
+    return dict(
+        t=tt[:, :, None],
+        x=x,
+        z=z,
+        v=v,
+        i=i,
+        event_t=event_t,
+        z_jump=z_jump,
+        v_jump=v_jump,
+        mask=mask,
+        name=[
+            ("delta", "rad"),
+            ("omega", "p.u."),
+            ("ix", "p.u."),
+            ("iy", "p.u."),
+        ],
+    )
+
+
+def write_avr_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
+    """Write ``training.npz`` / ``testing.npz`` AVR (ODE) sample files."""
+    import pathlib
+
+    d = pathlib.Path(dir_path)
+    d.mkdir(parents=True, exist_ok=True)
+    for name, n, s in (("training", n_train, seed), ("testing", n_test, seed + 1)):
+        data = generate_avr_samples(n, n_steps=n_steps, seed=s)
+        save_ode_samples(d / f"{name}.npz", **data)
+    return d / "training.npz", d / "testing.npz"
+
+
+def write_smib_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
+    """Write ``training.npz`` / ``testing.npz`` SMIB (DAE) sample files."""
+    import pathlib
+
+    d = pathlib.Path(dir_path)
+    d.mkdir(parents=True, exist_ok=True)
+    for name, n, s in (("training", n_train, seed), ("testing", n_test, seed + 1)):
+        data = generate_smib_dae_samples(n, n_steps=n_steps, seed=s)
+        save_dae_samples(d / f"{name}.npz", **data)
+    return d / "training.npz", d / "testing.npz"

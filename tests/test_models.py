@@ -1,0 +1,151 @@
+"""Model-variant tests: shapes, the skip-augmented input contract, encode
+variants' outputs, channel-wise alternate family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from py_psnode_tpu.models import (
+    DAEEncodeModel,
+    DAEModel,
+    ChannelWiseAEFunc,
+    ChannelWiseDEFunc,
+    DEFunc,
+    ODEEncodeModel,
+    ODEModel,
+)
+
+
+def _ode_batch(rng, B=2, T=7, xd=2, zd=2):
+    t = np.cumsum(np.full((B, T, 1), 0.02, np.float32), axis=1) - 0.02
+    x = rng.normal(size=(B, T, xd)).astype(np.float32)
+    z = rng.normal(size=(B, T, zd)).astype(np.float32)
+    event_t = np.full((B, 2), -1.0, np.float32)
+    event_t[:, 0] = t[0, 3, 0]
+    z_jump = rng.normal(size=(B, 2, zd)).astype(np.float32)
+    return jnp.asarray(t), jnp.asarray(x), jnp.asarray(z), jnp.asarray(event_t), jnp.asarray(z_jump)
+
+
+def _dae_batch(rng, B=2, T=7, xd=2, zd=1, vd=2, idim=2):
+    t, x, z, event_t, z_jump = _ode_batch(rng, B, T, xd, zd)
+    v = jnp.asarray(rng.normal(size=(B, T, vd)).astype(np.float32))
+    i = jnp.asarray(rng.normal(size=(B, T, idim)).astype(np.float32))
+    v_jump = jnp.asarray(rng.normal(size=(B, 2, vd)).astype(np.float32))
+    return t, x, z, v, i, event_t, z_jump, v_jump
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_ode_model_shapes(rng, solver):
+    t, x, z, event_t, z_jump = _ode_batch(rng)
+    m = ODEModel(x_dim=2, z_dim=2, hidden_dim=16, solver=solver)
+    params = m.init(jax.random.PRNGKey(0), t, x, z, event_t, z_jump)
+    out = m.apply(params, t, x, z, event_t, z_jump)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.array(out[:, 0]), np.array(x[:, 0]))
+
+
+def test_ode_encode_model_shapes(rng):
+    t, x, z, event_t, z_jump = _ode_batch(rng)
+    m = ODEEncodeModel(x_dim=2, z_dim=2, hidden_dim=8)
+    params = m.init(jax.random.PRNGKey(0), t, x, z, event_t, z_jump)
+    x_pred, x_re = m.apply(params, t, x, z, event_t, z_jump)
+    assert x_pred.shape == x.shape
+    assert x_re.shape == x.shape
+
+
+def test_dae_model_shapes(rng):
+    t, x, z, v, i, event_t, z_jump, v_jump = _dae_batch(rng)
+    m = DAEModel(x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=16)
+    params = m.init(jax.random.PRNGKey(0), t, x, z, v, i, event_t, z_jump, v_jump)
+    x_sol, i_sol = m.apply(params, t, x, z, v, i, event_t, z_jump, v_jump)
+    assert x_sol.shape == x.shape
+    assert i_sol.shape == i.shape
+
+
+def test_dae_model_pure_latent(rng):
+    t, x, z, v, i, event_t, z_jump, v_jump = _dae_batch(rng, xd=2)
+    x_empty = x[:, :, :0]
+    m = DAEModel(x_dim=0, z_dim=1, v_dim=2, i_dim=2, hidden_dim=16, latent_x_dim=5)
+    params = m.init(jax.random.PRNGKey(0), t, x_empty, z, v, i, event_t, z_jump, v_jump)
+    x_sol, i_sol = m.apply(params, t, x_empty, z, v, i, event_t, z_jump, v_jump)
+    assert x_sol.shape == (x.shape[0], x.shape[1], 5)
+    assert i_sol.shape == i.shape
+
+
+def test_dae_encode_model_shapes_and_init_row(rng):
+    t, x, z, v, i, event_t, z_jump, v_jump = _dae_batch(rng)
+    m = DAEEncodeModel(x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=8)
+    params = m.init(jax.random.PRNGKey(0), t, x, z, v, i, event_t, z_jump, v_jump)
+    x_pred, i_pred, x_re, i_re = m.apply(
+        params, t, x, z, v, i, event_t, z_jump, v_jump
+    )
+    assert x_pred.shape == x.shape and i_pred.shape == i.shape
+    assert x_re.shape == x.shape and i_re.shape == i.shape
+    # ref neural_01_DAE_02_direct_encode.py:150 — initial row is Init_Func output,
+    # not the decoded latent
+    init_params = {"params": params["params"]["init_func"]}
+    from py_psnode_tpu.models.funcs import InitFunc
+
+    x0 = InitFunc((8, 8, 2)).apply(init_params, z[:, 0], v[:, 0], i[:, 0])
+    np.testing.assert_allclose(np.array(x_pred[:, 0]), np.array(x0), rtol=1e-5)
+
+
+def test_dae_encode_zero_z_dim(rng):
+    t, x, z, v, i, event_t, z_jump, v_jump = _dae_batch(rng)
+    z0 = z[:, :, :0]
+    zj0 = z_jump[:, :, :0]
+    m = DAEEncodeModel(x_dim=2, z_dim=0, v_dim=2, i_dim=2, hidden_dim=8)
+    params = m.init(jax.random.PRNGKey(0), t, x, z0, v, i, event_t, zj0, v_jump)
+    x_pred, i_pred, x_re, i_re = m.apply(params, t, x, z0, v, i, event_t, zj0, v_jump)
+    assert x_pred.shape == x.shape
+    assert "z_encoder" not in params["params"]
+
+
+def test_defunc_skip_augmented_contract(rng):
+    """Pin the input ordering cat(init, u - init, u) by reconstructing the
+    forward pass from extracted kernels."""
+    xd, zd, h = 2, 3, 4
+    de = DEFunc((h, xd))
+    x = jnp.asarray(rng.normal(size=(5, xd)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(5, zd)).astype(np.float32))
+    init = jnp.asarray(rng.normal(size=(5, xd + zd)).astype(np.float32))
+    params = de.init(jax.random.PRNGKey(1), 0.0, init, x, z)
+    out = de.apply(params, 0.0, init, x, z)
+
+    p = params["params"]["x_dot"]
+    u = np.concatenate([x, z], axis=-1)
+    feat = np.concatenate([init, u - init, u], axis=-1)
+    h1 = feat @ np.array(p["dense_0"]["kernel"]) + np.array(p["dense_0"]["bias"])
+    h1 = np.where(h1 > 0, h1, np.expm1(h1))  # ELU
+    expected = h1 @ np.array(p["dense_1"]["kernel"]) + np.array(p["dense_1"]["bias"])
+    np.testing.assert_allclose(np.array(out), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_channelwise_funcs(rng):
+    B, xd, zd, vd, idim, h = 3, 2, 2, 2, 2, 8
+    de = ChannelWiseDEFunc(x_dim=xd, z_dim=zd, hidden_dim=h)
+    x = jnp.asarray(rng.normal(size=(B, xd)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(B, zd)).astype(np.float32))
+
+    def full_init(mdl, x, z):
+        xh = mdl.encode_x(x)
+        f0 = mdl.features_of(xh, z)
+        mdl(0.0, f0, xh, z)
+        return mdl.decode_x(xh)
+
+    variables = de.init(jax.random.PRNGKey(0), x, z, method=full_init)
+    xh = de.apply(variables, x, method=de.encode_x)
+    assert xh.shape == (B, xd, h)
+    f0 = de.apply(variables, xh, z, method=de.features_of)
+    assert f0.shape == (B, xd + zd, h)
+    dot = de.apply(variables, 0.0, f0, xh, z)
+    assert dot.shape == (B, xd, h)
+    x_dec = de.apply(variables, xh, method=de.decode_x)
+    assert x_dec.shape == (B, xd)
+
+    ae = ChannelWiseAEFunc(x_dim=xd, v_dim=vd, i_dim=idim, hidden_dim=h)
+    v = jnp.asarray(rng.normal(size=(B, vd)).astype(np.float32))
+    vars_ae = ae.init(jax.random.PRNGKey(1), jnp.zeros((B, xd, h)), v)
+    y = ae.apply(vars_ae, jnp.zeros((B, xd, h)), v)
+    assert y.shape == (B, idim)
