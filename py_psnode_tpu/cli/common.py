@@ -1,0 +1,119 @@
+"""Shared CLI: 14-flag parity with the reference drivers
+(ref neural_00_ODE_01_no_encode.py:203-255) plus mode dispatch
+(--training / --testing / --saving / --drawing, ref :282-452).
+
+Flags: --device --id --training --testing --saving --drawing --train_data
+--test_data --model --num --batch --hidden --epoch --step. Extras (beyond
+parity): --solver, --devices (data-parallel mesh size), --lr, --seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from py_psnode_tpu.train import TrainConfig, Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--device", type=str, default="tpu",
+        help='Device backend: "tpu" (alias "gpu" accepted for reference-CLI '
+             'compatibility) or "cpu". Default "tpu".',
+    )
+    parser.add_argument(
+        "--id", type=int, default=0,
+        help="Device index within the backend. Default 0.",
+    )
+    parser.add_argument("--training", action="store_true",
+                        help="Call training process, --train_data and --test_data needed.")
+    parser.add_argument("--testing", action="store_true",
+                        help="Call testing process, --model and --test_data needed.")
+    parser.add_argument("--saving", action="store_true",
+                        help="Call saving process, --model needed.")
+    parser.add_argument("--drawing", action="store_true",
+                        help="Draw true-vs-pred curves during testing/eval.")
+    parser.add_argument("--train_data", type=str,
+                        default="./results/samples_neural_gen_2_training.npz",
+                        help="Training data file path (.npz)")
+    parser.add_argument("--test_data", type=str,
+                        default="./results/samples_neural_gen_2_testing.npz",
+                        help="Testing data file path (.npz)")
+    parser.add_argument("--model", type=str, default="saved_models/test",
+                        help="Model dump/load path; a directory is created, an "
+                             "existing file resumes training into <name>_branch/.")
+    parser.add_argument("--num", type=int, default=3200,
+                        help="Training set size. Default 3200.")
+    parser.add_argument("--batch", type=int, default=64,
+                        help="Mini-batch size. Default 64.")
+    parser.add_argument("--hidden", type=int, default=128,
+                        help="Hidden dimensionality. Default 128.")
+    parser.add_argument("--epoch", type=int, default=400,
+                        help="Number of training epochs. Default 400.")
+    parser.add_argument("--step", type=int, default=1001,
+                        help="Length of training series. Default 1001.")
+    # TPU-native extras
+    parser.add_argument("--solver", type=str, default="euler",
+                        help="Fixed-grid stepper: euler | midpoint | rk4. Default euler.")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="Data-parallel mesh size (0 = single device).")
+    parser.add_argument("--lr", type=float, default=5e-3,
+                        help="Learning rate. Default 5e-3.")
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed.")
+    return parser
+
+
+def select_backend(device: str):
+    """Map the reference's cpu/gpu flag onto JAX platforms; 'gpu' means the
+    accelerator (TPU here)."""
+    d = device.lower()
+    if d == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif d in ("tpu", "gpu", "axon"):
+        pass  # default platform (the TPU chip)
+    else:
+        raise SystemExit(
+            f'Argument "--device" is illegal. Expected "cpu" or "tpu" but {device}'
+        )
+
+
+def main(variant: str, argv=None):
+    args = build_parser().parse_args(argv)
+    select_backend(args.device)
+    cfg = TrainConfig(
+        variant=variant,
+        train_data=args.train_data,
+        test_data=args.test_data,
+        model=args.model,
+        num=args.num,
+        batch=args.batch,
+        hidden=args.hidden,
+        epoch=args.epoch,
+        step=args.step,
+        learning_rate=args.lr,
+        solver=args.solver,
+        drawing=args.drawing,
+        n_devices=args.devices or None,
+        seed=args.seed,
+        progress=True,
+    )
+    trainer = Trainer(cfg)
+    if args.training:
+        assert args.train_data and args.test_data, (
+            "Training set or testing set missing! Please check."
+        )
+        trainer.train()
+    elif args.testing:
+        assert args.model and args.test_data, (
+            "Model or testing set missing! Please check."
+        )
+        trainer.test()
+    elif args.saving:
+        assert args.model and args.test_data, (
+            "Model or testing set missing! Please check."
+        )
+        trainer.save()
+    else:
+        raise SystemExit('Unknown task. Set "--training" or "--testing".')

@@ -1,0 +1,6 @@
+"""CLI entry for the dae_encode variant (ref /root/reference/neural_01_DAE_02_direct_encode.py)."""
+
+from py_psnode_tpu.cli.common import main
+
+if __name__ == "__main__":
+    main("dae_encode")

@@ -57,10 +57,11 @@ def generate_avr_samples(
     v_fault = rng.uniform(0.3, 0.7, (N, 1))
     v_post = rng.uniform(0.92, 1.02, (N, 1))
 
-    # grid-aligned fault-on / clear times, varied per sample
-    f_idx = rng.integers(int(0.5 / dt), int(1.5 / dt), (N, 1))
-    dur = rng.integers(int(0.08 / dt), int(0.2 / dt), (N, 1))
-    c_idx = f_idx + np.maximum(dur, 1)
+    # grid-aligned fault-on / clear times, varied per sample and scaled to
+    # the horizon so short test trajectories still contain the disturbance
+    f_idx = rng.integers(max(T // 8, 1), max(T // 3, 2), (N, 1))
+    dur = rng.integers(max(T // 20, 1), max(T // 10, 2), (N, 1))
+    c_idx = np.minimum(f_idx + np.maximum(dur, 1), T - 2)
     t_f = f_idx * dt
     t_c = c_idx * dt
 
@@ -148,9 +149,9 @@ def generate_smib_dae_samples(
     vinf_fault = rng.uniform(0.05, 0.5, N)
     vinf_post = rng.uniform(0.9, 1.0, N)
 
-    f_idx = rng.integers(int(0.5 / dt), int(1.5 / dt), N)
-    dur = rng.integers(int(0.08 / dt), int(0.25 / dt), N)
-    c_idx = f_idx + np.maximum(dur, 1)
+    f_idx = rng.integers(max(T // 8, 1), max(T // 3, 2), N)
+    dur = rng.integers(max(T // 20, 1), max(T // 10, 2), N)
+    c_idx = np.minimum(f_idx + np.maximum(dur, 1), T - 2)
     t_f, t_c = f_idx * dt, c_idx * dt
 
     # steady-state initialization from the pre-fault power flow

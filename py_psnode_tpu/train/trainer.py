@@ -1,0 +1,348 @@
+"""Generic trainer — one implementation replacing the reference's four
+copy-pasted driver loops (SURVEY.md §2.4, call stack §3.1).
+
+Feature parity with the reference training mode:
+  * dataset loading with num/cut_length/contain_larger_than (train) and the
+    per-kind test-set conventions (ODE: full length, ref script1:289; DAE:
+    cut to --step, ref script3:342)
+  * Adam(5e-3) + StepLR(ep/10, γ=0.7) (ref :294-295)
+  * resume: ``--model`` pointing at an existing *file* loads it and branches
+    into ``<name>_branch/`` (ref :299-305)
+  * rolling ``loss_record_iter``-batch loss/grad-norm logs (ref :376-384)
+  * skip-update-when-loss==0 guard (ref :359)
+  * per-epoch checkpoints ``model_checkpoint.{epoch}``, per-epoch eval with
+    optional plots, ``train_and_eval.npz`` history, per-epoch submodule
+    export, ``final_save`` + training-process summary (ref :388-405)
+
+TPU-native mechanics: one jitted, donated train step; batches padded to a
+static shape (masked rows are exact no-ops — see losses.mse); optional
+``jax.sharding.Mesh`` for data-parallel training with implicit gradient
+all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from py_psnode_tpu.data import DaeSamples, OdeSamples
+from py_psnode_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch,
+    replicated,
+)
+from py_psnode_tpu.train import evaluate as E
+from py_psnode_tpu.train.optim import make_optimizer, reference_grad_norm
+from py_psnode_tpu.train.variants import Variant, dataset_dims, get_variant
+from py_psnode_tpu.utils.logging import Logger
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    tqdm = lambda x, **kw: x
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    variant: str
+    train_data: str = ""
+    test_data: str = ""
+    model: str = "saved_models/test"
+    num: int = 3200
+    batch: int = 64
+    hidden: int = 128
+    epoch: int = 400
+    step: int = 1001
+    learning_rate: float = 5e-3
+    sch_gamma: float = 0.7
+    loss_record_iter: int = 10
+    gradient_clip: Optional[float] = None  # see optim.py — ref clip is a no-op
+    solver: str = "euler"
+    drawing: bool = False
+    n_devices: Optional[int] = None  # data-parallel mesh size (None = 1)
+    seed: int = 0
+    remat: bool = True
+    unroll: int = 1
+    echo_logs: bool = True
+    progress: bool = False
+    # contain_larger_than / show_larger_than filter; the sentinel "variant"
+    # uses the per-variant reference constant (3.29 / None / π / π)
+    larger_than: object = "variant"
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.variant: Variant = get_variant(cfg.variant)
+        self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+        self.larger_than = (
+            self.variant.larger_than if cfg.larger_than == "variant" else cfg.larger_than
+        )
+
+    # ------------------------------------------------------------------ data
+
+    def load_train_dataset(self):
+        cfg, v = self.cfg, self.variant
+        cls = DaeSamples if v.kind == "dae" else OdeSamples
+        return cls.load(
+            cfg.train_data,
+            num_sample=cfg.num,
+            cut_length=cfg.step,
+            contain_larger_than=self.larger_than,
+        )
+
+    def load_test_dataset(self):
+        cfg, v = self.cfg, self.variant
+        if v.kind == "dae":
+            return DaeSamples.load(cfg.test_data, cut_length=cfg.step)
+        return OdeSamples.load(cfg.test_data)
+
+    # ----------------------------------------------------------------- model
+
+    def build_model(self, ds):
+        cfg = self.cfg
+        dims = dataset_dims(self.variant, ds)
+        model = self.variant.make_model(
+            dims, cfg.hidden, solver=cfg.solver, remat=cfg.remat, unroll=cfg.unroll
+        )
+        batch = pad_batch(next(ds.batches(min(2, len(ds)))), 1)
+        args = tuple(jnp.asarray(batch[k]) for k in self.variant.batch_args)
+        params = model.init(jax.random.PRNGKey(cfg.seed), *args)
+        return model, params, dims
+
+    # ------------------------------------------------------------ train step
+
+    def _make_train_step(self, model, tx):
+        variant = self.variant
+
+        def loss_of(params, batch):
+            out = model.apply(params, *[batch[k] for k in variant.batch_args])
+            return variant.loss_fn(out, batch)
+
+        def step(params, opt_state, batch):
+            (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                params, batch
+            )
+            gnorm = reference_grad_norm(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # skip-update-when-loss==0 guard (ref :359)
+            keep = loss != 0.0
+            params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(keep, n, o), new_params, params
+            )
+            return params, opt_state, aux, gnorm
+
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rep, rep, bsh),
+                out_shardings=(rep, rep, rep, rep),
+                donate_argnums=(0, 1),
+            )
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _make_eval_apply(self, model):
+        variant = self.variant
+
+        @jax.jit
+        def fwd(params, *args):
+            out = model.apply(params, *args)
+            if variant.kind == "dae":
+                return {"x": out[0], "i": out[1]}
+            if isinstance(out, tuple):
+                return {"x": out[0]}
+            return {"x": out}
+
+        def apply_fn_factory(params):
+            return lambda batch: fwd(
+                params, *[jnp.asarray(batch[k]) for k in variant.batch_args]
+            )
+
+        return apply_fn_factory
+
+    def _prep_batch(self, batch, pad_to):
+        n_real = batch["t"].shape[0]
+        batch = pad_batch(batch, pad_to)
+        batch["sample_w"] = (np.arange(batch["t"].shape[0]) < n_real).astype(
+            np.float32
+        )
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+        return batch
+
+    # ------------------------------------------------------------------ train
+
+    def train(self):
+        cfg, variant = self.cfg, self.variant
+        train_ds = self.load_train_dataset()
+        test_ds = self.load_test_dataset()
+        eval_batch = max(int(len(test_ds) / 10), 1)
+
+        model, params, dims = self.build_model(train_ds)
+        steps_per_epoch = -(-len(train_ds) // cfg.batch)
+        tx = make_optimizer(
+            cfg.learning_rate, cfg.epoch, steps_per_epoch, cfg.sch_gamma,
+            cfg.gradient_clip,
+        )
+        opt_state = tx.init(params)
+
+        # model path (+ resume-from-file branching, ref :297-305)
+        model_path = pathlib.Path(cfg.model)
+        if model_path.exists() and not model_path.is_dir():
+            from py_psnode_tpu.export import load_params_npz
+
+            params = load_params_npz(model_path)
+            opt_state = tx.init(params)
+            model_path = model_path.parent / (model_path.name + "_branch")
+        model_path.mkdir(parents=True, exist_ok=True)
+
+        logger = Logger(model_path, "training.log", "testing.log", echo=cfg.echo_logs)
+        logger.training_log(
+            f"training_data: {cfg.train_data}, testing_data: {cfg.test_data}, "
+            f"train_size: {cfg.num}, batch_size: {cfg.batch}, "
+            f"hidden_dim: {cfg.hidden}, epoch: {cfg.epoch}, "
+            f"cut_length: {cfg.step}, learning_rate: {cfg.learning_rate}"
+        )
+
+        train_step = self._make_train_step(model, tx)
+        apply_fn_factory = self._make_eval_apply(model)
+        pic_path = model_path / "pics" if cfg.drawing else None
+        eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
+
+        train_error_list, eval_error_list = [], []
+        nrec = cfg.loss_record_iter
+        records = {k: np.zeros(nrec) for k in variant.loss_keys}
+        grad_record = np.zeros(nrec)
+
+        logger.testing_log("=" * 86)
+        logger.testing_log("Initial evaluate on testing set.")
+        eval_error_list.append(
+            eval_fn(
+                apply_fn_factory(params), test_ds, eval_batch, logger,
+                desc="Testing_Epoch_0", pic_path=pic_path,
+                show_larger_than=self.larger_than,
+            )
+        )
+        logger.testing_log("=" * 86)
+        logger.training_log(f"Start training {variant.name} model")
+        logger.training_log("=" * 86)
+
+        epochs = range(1, cfg.epoch + 1)
+        if cfg.progress:
+            epochs = tqdm(epochs, desc="Epoch", ncols=80)
+        for epoch in epochs:
+            for i_batch, batch in enumerate(
+                train_ds.batches(cfg.batch, shuffle=True, seed=cfg.seed + epoch)
+            ):
+                batch = self._prep_batch(batch, cfg.batch)
+                params, opt_state, aux, gnorm = train_step(params, opt_state, batch)
+                for k in variant.loss_keys:
+                    records[k][i_batch % nrec] = float(aux[k])
+                grad_record[i_batch % nrec] = float(gnorm)
+                if (i_batch + 1) % nrec == 0:
+                    means = {k: records[k].mean() for k in variant.loss_keys}
+                    parts = ", ".join(
+                        f"{k}: {means[k]:14.10f}" for k in variant.loss_keys
+                    )
+                    logger.training_log(
+                        f"Training epoch {epoch}: Batch{i_batch + 1 - nrec:4} "
+                        f"to {i_batch + 1:4}: {parts}, "
+                        f"gradient_norm: {grad_record.mean():14.10f}."
+                    )
+                    train_error_list.append(
+                        [means[k] for k in variant.loss_keys]
+                        if variant.kind == "dae"
+                        else [means["loss"]]
+                    )
+            logger.training_log("-" * 86)
+
+            # per-epoch checkpoint + eval + history + export (ref :388-402)
+            from py_psnode_tpu.export import save_params_npz
+
+            save_params_npz(model_path / f"model_checkpoint.{epoch}", params)
+            logger.testing_log("=" * 86)
+            logger.testing_log(f"Training Epoch {epoch}, evaluate on testing set.")
+            eval_error_list.append(
+                eval_fn(
+                    apply_fn_factory(params), test_ds, eval_batch, logger,
+                    desc=f"Testing_Epoch_{epoch}", pic_path=pic_path,
+                    show_larger_than=self.larger_than,
+                )
+            )
+            logger.testing_log("=" * 86)
+            np.savez(
+                str(model_path / "train_and_eval.npz"),
+                train=np.array(train_error_list, dtype=object),
+                eval=np.array(eval_error_list, dtype=object),
+            )
+            variant.export_fn(model, params, dims, model_path / "saved model")
+
+        variant.export_fn(model, params, dims, model_path / "saved model")
+        if variant.kind == "dae":
+            E.output_training_process_dae(logger, eval_error_list)
+        else:
+            E.output_training_process_ode(logger, eval_error_list)
+        logger.close()
+        return params, model_path
+
+    # ------------------------------------------------------------------- test
+
+    def test(self):
+        """--testing mode (ref :406-433): load checkpoint file, evaluate."""
+        cfg, variant = self.cfg, self.variant
+        test_ds = self.load_test_dataset()
+        eval_batch = max(int(len(test_ds) / 10), 1)
+        model, _, dims = self.build_model(test_ds)
+        model_path = pathlib.Path(cfg.model)
+        assert model_path.exists() and not model_path.is_dir(), (
+            f"{model_path} is not a file or does not exist!"
+        )
+        from py_psnode_tpu.export import load_params_npz
+
+        params = load_params_npz(model_path)
+        pic_path = model_path.parent / "pics" if cfg.drawing else None
+        logger = Logger(
+            model_path.parent,
+            test_log_name=f"Model_{model_path.name}_Evaluation.log",
+            echo=cfg.echo_logs,
+        )
+        logger.testing_log(f"Model {model_path} Evaluation")
+        logger.testing_log(f"Use testing data: {cfg.test_data}")
+        logger.testing_log("=" * 86)
+        eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
+        result = eval_fn(
+            self._make_eval_apply(model)(params), test_ds, eval_batch, logger,
+            desc=f"Model {model_path.name} Evaluation", pic_path=pic_path,
+            show_larger_than=self.larger_than,
+        )
+        logger.testing_log("=" * 86)
+        logger.close()
+        return result
+
+    # ------------------------------------------------------------------- save
+
+    def save(self):
+        """--saving mode (ref :434-450): load checkpoint → export artifacts."""
+        cfg, variant = self.cfg, self.variant
+        test_ds = self.load_test_dataset()
+        model, _, dims = self.build_model(test_ds)
+        model_path = pathlib.Path(cfg.model)
+        assert model_path.exists() and not model_path.is_dir(), (
+            f"{model_path} is not a file or does not exist!"
+        )
+        from py_psnode_tpu.export import load_params_npz
+
+        params = load_params_npz(model_path)
+        variant.export_fn(model, params, dims, model_path.parent / "saved model")
+        return model_path.parent / "saved model"

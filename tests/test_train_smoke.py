@@ -1,0 +1,120 @@
+"""End-to-end smoke (SURVEY.md §4.6): tiny synthetic data, 1-2 epochs, loss
+decreases, all artifacts appear (ckpt, logs, train_and_eval.npz, exports)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from py_psnode_tpu.data import write_avr_dataset, write_smib_dataset
+from py_psnode_tpu.train import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def avr_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("avr_data")
+    return write_avr_dataset(d, n_train=24, n_test=12, n_steps=41, seed=0)
+
+
+@pytest.fixture(scope="module")
+def smib_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("smib_data")
+    return write_smib_dataset(d, n_train=24, n_test=12, n_steps=41, seed=0)
+
+
+def _cfg(variant, data, model_dir, **kw):
+    train_f, test_f = data
+    base = dict(
+        variant=variant,
+        train_data=str(train_f),
+        test_data=str(test_f),
+        model=str(model_dir),
+        num=16,
+        batch=8,
+        hidden=16,
+        epoch=2,
+        step=41,
+        echo_logs=False,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _loss_series(eval_list):
+    return [float(e[0]) for e in eval_list]
+
+
+def test_ode_no_encode_end_to_end(avr_data, tmp_path):
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m")
+    params, model_path = Trainer(cfg).train()
+    # artifacts (ref call stack §3.1)
+    assert (model_path / "training.log").exists()
+    assert (model_path / "testing.log").exists()
+    assert (model_path / "model_checkpoint.1").exists()
+    assert (model_path / "model_checkpoint.2").exists()
+    assert (model_path / "train_and_eval.npz").exists()
+    assert (model_path / "saved model" / "de_func.weights.npz").exists()
+    assert (model_path / "saved model" / "de_func.weights.bin").exists()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = _loss_series(hist["eval"])
+    assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
+
+
+def test_ode_no_encode_resume_branch(avr_data, tmp_path):
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=1)
+    _, model_path = Trainer(cfg).train()
+    ckpt = model_path / "model_checkpoint.1"
+    cfg2 = _cfg("ode_no_encode", avr_data, ckpt, epoch=1)
+    _, branch_path = Trainer(cfg2).train()
+    assert branch_path.name == "model_checkpoint.1_branch"
+    assert (branch_path / "model_checkpoint.1").exists()
+
+
+def test_ode_testing_and_saving_modes(avr_data, tmp_path):
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=1)
+    _, model_path = Trainer(cfg).train()
+    ckpt = model_path / "model_checkpoint.1"
+    tcfg = _cfg("ode_no_encode", avr_data, ckpt, epoch=1)
+    result = Trainer(tcfg).test()
+    assert result.shape == (2,)
+    assert np.isfinite(float(result[0]))
+    out = Trainer(tcfg).save()
+    assert (out / "de_func.weights.npz").exists()
+
+
+def test_ode_encode_end_to_end(avr_data, tmp_path):
+    cfg = _cfg("ode_encode", avr_data, tmp_path / "m")
+    params, model_path = Trainer(cfg).train()
+    assert (model_path / "saved model" / "dim.txt").read_text() == "16"
+    for name in ("x_encoder", "x_decoder", "z_encoder", "de_func"):
+        assert (model_path / "saved model" / f"{name}.weights.npz").exists()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = _loss_series(hist["eval"])
+    assert evals[-1] < evals[0]
+
+
+def test_dae_no_encode_end_to_end(smib_data, tmp_path):
+    cfg = _cfg("dae_no_encode", smib_data, tmp_path / "m", larger_than=None)
+    params, model_path = Trainer(cfg).train()
+    for name in ("init_func", "de_func", "ae_func"):
+        assert (model_path / "saved model" / f"{name}.weights.npz").exists()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = [float(e[0]) + float(e[1]) for e in hist["eval"]]
+    assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
+
+
+def test_dae_encode_end_to_end(smib_data, tmp_path):
+    cfg = _cfg("dae_encode", smib_data, tmp_path / "m", larger_than=None)
+    params, model_path = Trainer(cfg).train()
+    for name in (
+        "x_encoder", "x_decoder", "z_encoder", "v_encoder", "i_encoder",
+        "i_decoder", "init_func", "de_func", "ae_func",
+    ):
+        assert (model_path / "saved model" / f"{name}.weights.npz").exists()
+
+
+def test_drawing_produces_plots(avr_data, tmp_path):
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=1, drawing=True)
+    _, model_path = Trainer(cfg).train()
+    pics = list((model_path / "pics").glob("Sample_*/*.jpg"))
+    assert pics, "no evaluation plots were written"
