@@ -1,0 +1,102 @@
+"""Benchmark: trajectory-steps/sec/chip for the flagship batched-RK4 DAE
+training step, vs the pinned PyTorch-CPU reference baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline (benchmarks/baseline_pin.json) is an original torch-CPU
+implementation of the reference's Python-time-loop algorithm at the reference
+training envelope (batch 64 × T=1001 × hidden 128, RK4 DAE) — see
+benchmarks/torch_baseline.py and BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_tpu_train_step(batch_size=64, t_len=1001, hidden=128, iters=20, repeats=2, unroll=8):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from py_psnode_tpu.models import DAEModel
+    from py_psnode_tpu.train.losses import dae_no_encode_loss
+    from py_psnode_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    B, T = batch_size, t_len
+    f32 = np.float32
+    batch = {
+        "t": (np.cumsum(np.full((B, T, 1), 0.01), axis=1) - 0.01).astype(f32),
+        "x": rng.normal(size=(B, T, 2)).astype(f32),
+        "z": rng.normal(size=(B, T, 1)).astype(f32),
+        "v": rng.normal(size=(B, T, 2)).astype(f32),
+        "i": rng.normal(size=(B, T, 2)).astype(f32),
+        "event_t": np.full((B, 2), -1.0, f32),
+        "z_jump": rng.normal(size=(B, 2, 1)).astype(f32),
+        "v_jump": rng.normal(size=(B, 2, 2)).astype(f32),
+        "mask": np.ones((B, T, 1), f32),
+    }
+    keys = ("t", "x", "z", "v", "i", "event_t", "z_jump", "v_jump")
+    model = DAEModel(
+        x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=hidden,
+        solver="rk4", unroll=unroll,
+    )
+    args = tuple(jnp.asarray(batch[k]) for k in keys)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
+    opt_state = tx.init(params)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_of(p):
+            out = model.apply(p, *[batch[k] for k in keys])
+            return dae_no_encode_loss(out, batch)[0]
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    # compile + warmup
+    params, opt_state, loss = step(params, opt_state, jbatch)
+    jax.block_until_ready(params)
+    # best-of-repeats over pipelined windows; a single short window can be
+    # distorted by the device tunnel's dispatch behavior
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            params, opt_state, loss = step(params, opt_state, jbatch)
+        jax.block_until_ready(params)
+        best = min(best, (time.time() - t0) / iters)
+    assert np.isfinite(float(loss))
+    return best, B * (T - 1) / best
+
+
+def main():
+    sys.path.insert(0, ".")
+    from benchmarks.torch_baseline import get_pin
+
+    pin = get_pin(allow_measure=True)
+    sec, traj_steps_per_sec = bench_tpu_train_step()
+    vs = traj_steps_per_sec / pin["trajectory_steps_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "trajectory-steps/sec/chip (batched RK4 DAE train step, B=64 T=1001 h=128)",
+                "value": round(traj_steps_per_sec, 1),
+                "unit": "traj_steps/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
