@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def bench_tpu_train_step(batch_size=64, t_len=1001, hidden=128, iters=20, repeats=2, unroll=8):
+def bench_tpu_train_step(batch_size=64, t_len=1001, hidden=128, iters=50, repeats=2, unroll=8):
     import jax
     import jax.numpy as jnp
     import optax
@@ -63,19 +63,17 @@ def bench_tpu_train_step(batch_size=64, t_len=1001, hidden=128, iters=20, repeat
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    # compile + warmup
+    # compile + warmup (the value fetch forces real completion — on this
+    # tunneled device backend block_until_ready alone is NOT reliable)
     params, opt_state, loss = step(params, opt_state, jbatch)
-    jax.block_until_ready(params)
-    # best-of-repeats over pipelined windows; a single short window can be
-    # distorted by the device tunnel's dispatch behavior
+    assert np.isfinite(float(loss))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
         for _ in range(iters):
             params, opt_state, loss = step(params, opt_state, jbatch)
-        jax.block_until_ready(params)
+        float(loss)  # fetch the final loss: depends on every chained step
         best = min(best, (time.time() - t0) / iters)
-    assert np.isfinite(float(loss))
     return best, B * (T - 1) / best
 
 

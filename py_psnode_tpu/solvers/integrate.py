@@ -39,13 +39,56 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from py_psnode_tpu.solvers.steppers import Stepper, get_stepper
 
 
-def _maybe_remat(fn, remat: bool):
-    return jax.checkpoint(fn) if remat else fn
+def _maybe_remat(fn, remat):
+    return jax.checkpoint(fn) if remat is True else fn
+
+
+def _scan(body, carry, inputs, remat, unroll):
+    """Run the time loop with the selected rematerialization policy.
+
+    remat=False  — store all step activations (fastest, most memory)
+    remat=True   — checkpoint each step body (memory = T×carry)
+    remat='sqrt' — nested scan over ~sqrt(T) chunks with the whole chunk
+                   checkpointed: memory = O(sqrt(T)) boundary carries +
+                   one chunk of activations; the TPU answer to the
+                   reference's BPTT-memory problem (SURVEY.md §7 hard parts).
+    """
+    if remat != "sqrt":
+        return lax.scan(_maybe_remat(body, remat), carry, inputs, unroll=unroll)
+
+    L = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+    c = max(int(np.ceil(np.sqrt(L))), 1)
+    n = -(-L // c)
+    pad = n * c - L
+    # zero-pad trailing steps: dt == 0 there, so the carry passes through
+    # unchanged and the (discarded) outputs stay finite
+    padded = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+        if pad
+        else a,
+        inputs,
+    )
+    chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape((n, c) + a.shape[1:]), padded
+    )
+
+    @jax.checkpoint
+    def outer(carry, chunk_inputs):
+        return lax.scan(body, carry, chunk_inputs, unroll=unroll)
+
+    carry, ys = lax.scan(outer, carry, chunked)
+    ys = jax.tree_util.tree_map(
+        lambda a: a.reshape((n * c,) + a.shape[2:])[:L], ys
+    )
+    return carry, ys
 
 
 def integrate_ode(
@@ -72,7 +115,7 @@ def integrate_ode(
         (``z_step[j]`` drives the step from ``t[j]`` to ``t[j+1]``).
       input_true_x: teacher forcing — feed true ``x[j-1]`` instead of the
         rolled-out state.
-      remat: rematerialize the step body in the backward pass.
+      remat: False | True | 'sqrt' — see _scan for the memory policies.
       unroll: ``lax.scan`` unroll factor.
 
     Returns:
@@ -90,7 +133,7 @@ def integrate_ode(
         return x1, x1
 
     inputs = (t[:-1], t[1:], z_step, x[:-1])
-    _, xs = lax.scan(_maybe_remat(body, remat), x0, inputs, unroll=unroll)
+    _, xs = _scan(body, x0, inputs, remat, unroll)
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -184,7 +227,7 @@ def integrate_dae(
         i_tm1_stream,
         x_tj_stream,
     )
-    _, (xs, is_) = lax.scan(_maybe_remat(body, remat), (x0, i0), inputs, unroll=unroll)
+    _, (xs, is_) = _scan(body, (x0, i0), inputs, remat, unroll)
     x_solution = jnp.concatenate([x0[None], xs], axis=0)
     i_solution = jnp.concatenate([i0[None], is_], axis=0)
     return x_solution, i_solution

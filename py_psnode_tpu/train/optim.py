@@ -65,13 +65,24 @@ def make_optimizer(
     steps_per_epoch: int = 1,
     sch_gamma: float = 0.7,
     gradient_clip: Optional[float] = None,
+    skip_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
+    """Adam + StepLR-equivalent schedule.
+
+    ``skip_nonfinite`` wraps the chain in ``optax.apply_if_finite`` — the
+    hardened version of the reference's NaN-loss guard (``utils.py:34-36``):
+    a step whose gradients contain NaN/Inf is skipped entirely instead of
+    corrupting the parameters (SURVEY.md §5 failure-detection plan).
+    """
     sched = steplr_schedule(learning_rate, epochs, steps_per_epoch, sch_gamma)
     chain = []
     if gradient_clip is not None:
         chain.append(per_param_clip(gradient_clip))
     chain.append(optax.adam(sched))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def reference_grad_norm(grads, clip: float = 1.0) -> jnp.ndarray:

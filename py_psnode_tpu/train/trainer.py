@@ -42,11 +42,14 @@ from py_psnode_tpu.train import evaluate as E
 from py_psnode_tpu.train.optim import make_optimizer, reference_grad_norm
 from py_psnode_tpu.train.variants import Variant, dataset_dims, get_variant
 from py_psnode_tpu.utils.logging import Logger
+from py_psnode_tpu.utils.profiling import JsonlMetrics
 
 try:
     from tqdm import tqdm
 except Exception:  # pragma: no cover
     tqdm = lambda x, **kw: x
+
+from contextlib import nullcontext as _nullcontext
 
 
 @dataclasses.dataclass
@@ -75,6 +78,13 @@ class TrainConfig:
     # contain_larger_than / show_larger_than filter; the sentinel "variant"
     # uses the per-variant reference constant (3.29 / None / π / π)
     larger_than: object = "variant"
+    # "default" | "bfloat16" | "float32" | "highest" — matmul precision for
+    # the train/eval forward (bfloat16 rides the MXU fastest)
+    matmul_precision: str = "default"
+    # skip optimizer steps whose grads contain NaN/Inf (optax.apply_if_finite)
+    skip_nonfinite: bool = False
+    # structured metrics (train_metrics.jsonl) alongside the text logs
+    jsonl_metrics: bool = True
 
 
 class Trainer:
@@ -121,9 +131,11 @@ class Trainer:
 
     def _make_train_step(self, model, tx):
         variant = self.variant
+        precision = self.cfg.matmul_precision
 
         def loss_of(params, batch):
-            out = model.apply(params, *[batch[k] for k in variant.batch_args])
+            with jax.default_matmul_precision(precision) if precision != "default" else _nullcontext():
+                out = model.apply(params, *[batch[k] for k in variant.batch_args])
             return variant.loss_fn(out, batch)
 
         def step(params, opt_state, batch):
@@ -193,7 +205,7 @@ class Trainer:
         steps_per_epoch = -(-len(train_ds) // cfg.batch)
         tx = make_optimizer(
             cfg.learning_rate, cfg.epoch, steps_per_epoch, cfg.sch_gamma,
-            cfg.gradient_clip,
+            cfg.gradient_clip, skip_nonfinite=cfg.skip_nonfinite,
         )
         opt_state = tx.init(params)
 
@@ -208,6 +220,11 @@ class Trainer:
         model_path.mkdir(parents=True, exist_ok=True)
 
         logger = Logger(model_path, "training.log", "testing.log", echo=cfg.echo_logs)
+        metrics = (
+            JsonlMetrics(model_path / "train_metrics.jsonl")
+            if cfg.jsonl_metrics
+            else None
+        )
         logger.training_log(
             f"training_data: {cfg.train_data}, testing_data: {cfg.test_data}, "
             f"train_size: {cfg.num}, batch_size: {cfg.batch}, "
@@ -265,6 +282,11 @@ class Trainer:
                         if variant.kind == "dae"
                         else [means["loss"]]
                     )
+                    if metrics is not None:
+                        metrics.log(
+                            kind="train", epoch=epoch, batch=i_batch + 1,
+                            grad_norm=float(grad_record.mean()), **means,
+                        )
             logger.training_log("-" * 86)
 
             # per-epoch checkpoint + eval + history + export (ref :388-402)
@@ -286,6 +308,12 @@ class Trainer:
                 train=np.array(train_error_list, dtype=object),
                 eval=np.array(eval_error_list, dtype=object),
             )
+            if metrics is not None:
+                ev = eval_error_list[-1]
+                rec = {"kind": "eval", "epoch": epoch, "x_loss": float(ev[0])}
+                if variant.kind == "dae":
+                    rec["i_loss"] = float(ev[1])
+                metrics.log(**rec)
             variant.export_fn(model, params, dims, model_path / "saved model")
 
         variant.export_fn(model, params, dims, model_path / "saved model")

@@ -1,0 +1,130 @@
+"""Multi-shooting and sqrt-remat tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from py_psnode_tpu.solvers import integrate_ode
+from py_psnode_tpu.solvers.multishoot import (
+    multishoot_dae,
+    multishoot_ode,
+    tile_batch,
+)
+
+
+def _problem(rng, T=25, B=3, xd=2, zd=2):
+    W1 = rng.normal(size=(xd, xd)) * 0.4
+    W2 = rng.normal(size=(zd, xd)) * 0.4
+    f = lambda tt, xx, zz: jnp.tanh(xx @ jnp.asarray(W1) + zz @ jnp.asarray(W2))
+    t = jnp.asarray(np.cumsum(np.full((T, B, 1), 0.02), axis=0) - 0.02)
+    x = jnp.asarray(rng.normal(size=(T, B, xd)))
+    z = jnp.asarray(rng.normal(size=(T, B, zd)))
+    return f, t, x, z
+
+
+def test_k1_equals_plain(rng):
+    f, t, x, z = _problem(rng)
+    plain = integrate_ode("rk4", f, t, x, z[:-1], remat=False)
+    ms, gaps = multishoot_ode("rk4", f, t, x, z[:-1], n_windows=1, remat=False)
+    np.testing.assert_allclose(np.array(ms), np.array(plain), rtol=1e-10)
+    assert gaps.shape[0] == 0
+
+
+def test_windows_match_teacher_started_segments(rng):
+    """Each window's rollout must equal a plain solve started from the true
+    state at the window boundary."""
+    f, t, x, z = _problem(rng, T=25)
+    K, L = 4, 6
+    ms, gaps = multishoot_ode("euler", f, t, x, z[:-1], n_windows=K, remat=False)
+    for w in range(K):
+        seg = integrate_ode(
+            "euler", f,
+            t[w * L : w * L + L + 1],
+            x[w * L : w * L + L + 1],
+            z[w * L : w * L + L],
+            remat=False,
+        )
+        # stitched boundary point w*L belongs to the PREVIOUS window's
+        # rollout; the window itself restarts from the true state — compare
+        # the interior points each window produced
+        np.testing.assert_allclose(
+            np.array(ms[w * L + 1 : w * L + L + 1]), np.array(seg[1:]),
+            rtol=1e-6, err_msg=f"window {w}",
+        )
+    # gap definition
+    seg0 = integrate_ode(
+        "euler", f, t[:L + 1], x[:L + 1], z[:L], remat=False
+    )
+    np.testing.assert_allclose(
+        np.array(gaps[0]), np.array(seg0[-1] - x[L]), rtol=1e-6
+    )
+
+
+def test_indivisible_raises(rng):
+    f, t, x, z = _problem(rng, T=25)
+    with pytest.raises(ValueError):
+        multishoot_ode("euler", f, t, x, z[:-1], n_windows=5)
+
+
+def test_multishoot_dae_k1_matches(rng):
+    from py_psnode_tpu.solvers import integrate_dae
+
+    T, B, xd, zd, vd, idim = 13, 2, 2, 1, 2, 2
+    J = jnp.asarray
+    Wx = J(rng.normal(size=(xd, xd)) * 0.3)
+    Gz = J(rng.normal(size=(zd, idim)) * 0.3)
+    Gx = J(rng.normal(size=(xd, idim)) * 0.3)
+    Iz = J(rng.normal(size=(zd + vd + idim, xd)) * 0.3)
+    f = lambda tt, xx, zz, vv, ii: jnp.tanh(xx @ Wx) + 0.1 * ii.sum(-1, keepdims=True)
+    g = lambda xx, zz, vv: jnp.tanh(xx @ Gx + zz @ Gz)
+    init_fn = lambda z0, v0, i0: jnp.concatenate([z0, v0, i0], -1) @ Iz
+
+    t = J(np.cumsum(np.full((T, B, 1), 0.02), axis=0) - 0.02)
+    z = J(rng.normal(size=(T, B, zd)))
+    v = J(rng.normal(size=(T, B, vd)))
+    i = J(rng.normal(size=(T, B, idim)))
+    x0 = init_fn(z[0], v[0], i[0])
+    plain_x, plain_i = integrate_dae(
+        "euler", f, g, x0, t, z, v, z[:-1], v[:-1], remat=False
+    )
+    ms_x, ms_i, gaps = multishoot_dae(
+        "euler", f, g, init_fn, t, z, v, i, z[:-1], v[:-1], 1, remat=False
+    )
+    np.testing.assert_allclose(np.array(ms_x), np.array(plain_x), rtol=1e-6)
+    np.testing.assert_allclose(np.array(ms_i), np.array(plain_i), rtol=1e-6)
+    ms_x4, ms_i4, gaps4 = multishoot_dae(
+        "euler", f, g, init_fn, t, z, v, i, z[:-1], v[:-1], 4, remat=False
+    )
+    assert gaps4.shape == (3, B, xd)
+    # gap[0] = window-0 rollout end (the stitched boundary point) minus the
+    # init_fn start of window 1
+    np.testing.assert_allclose(
+        np.array(gaps4[0]),
+        np.array(ms_x4[3] - init_fn(z[3], v[3], i[3])),
+        rtol=1e-6, atol=1e-12,
+    )
+
+
+def test_sqrt_remat_matches(rng):
+    f, t, x, z = _problem(rng, T=30)
+
+    def loss(w, remat):
+        ff = lambda tt, xx, zz: jnp.tanh(xx * w) + zz
+        sol = integrate_ode("rk4", ff, t, x[:, :, :1], z[:-1, :, :1], remat=remat)
+        return jnp.sum(sol**2)
+
+    for w in (0.3,):
+        l_true = float(loss(w, True))
+        l_sqrt = float(loss(w, "sqrt"))
+        np.testing.assert_allclose(l_sqrt, l_true, rtol=1e-10)
+        g_true = float(jax.grad(loss)(w, True))
+        g_sqrt = float(jax.grad(loss)(w, "sqrt"))
+        np.testing.assert_allclose(g_sqrt, g_true, rtol=1e-8)
+
+
+def test_tile_batch():
+    a = jnp.arange(6).reshape(2, 3)
+    out = tile_batch(a, 2)
+    assert out.shape == (4, 3)
+    np.testing.assert_array_equal(np.array(out[2]), np.array(a[0]))
