@@ -196,7 +196,7 @@ def integrate_dae(
             # extra g-eval off the hot path on non-event steps.
             def recompute(ip):
                 i_ev = ae_fn(x_prev, z0s, v0s)
-                return jnp.where(ev[:, None], i_ev, ip)
+                return jnp.where(ev[:, None], i_ev, ip).astype(ip.dtype)
 
             i_in = lax.cond(jnp.any(ev), recompute, lambda ip: ip, i_prev)
 
