@@ -19,12 +19,16 @@ import time
 import numpy as np
 
 
-def bench_tpu_train_step(batch_size=64, t_len=1001, hidden=128, iters=50, repeats=2, unroll=8):
+def bench_tpu_train_step(
+    batch_size=64, t_len=1001, hidden=128, iters=50, repeats=2, unroll=8,
+    fused=True,
+):
     import jax
     import jax.numpy as jnp
     import optax
 
     from py_psnode_tpu.models import DAEModel
+    from py_psnode_tpu.ops import fused_dae_apply
     from py_psnode_tpu.train.losses import dae_no_encode_loss
     from py_psnode_tpu.train.optim import make_optimizer
 
@@ -53,10 +57,17 @@ def bench_tpu_train_step(batch_size=64, t_len=1001, hidden=128, iters=50, repeat
     opt_state = tx.init(params)
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    if fused:
+        forward = lambda p, b: fused_dae_apply(
+            p, b, (2, 1, 2, 2), hidden, solver="rk4"
+        )
+    else:
+        forward = lambda p, b: model.apply(p, *[b[k] for k in keys])
+
     @jax.jit
     def step(params, opt_state, batch):
         def loss_of(p):
-            out = model.apply(p, *[batch[k] for k in keys])
+            out = forward(p, batch)
             return dae_no_encode_loss(out, batch)[0]
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -87,7 +98,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "trajectory-steps/sec/chip (batched RK4 DAE train step, B=64 T=1001 h=128)",
+                "metric": "trajectory-steps/sec/chip (batched RK4 DAE train step, fused Pallas, B=64 T=1001 h=128)",
                 "value": round(traj_steps_per_sec, 1),
                 "unit": "traj_steps/s",
                 "vs_baseline": round(vs, 2),

@@ -3,3 +3,5 @@ from py_psnode_tpu.ops.fused_dae import (  # noqa: F401
     precompute_streams,
     split_de_layer1,
 )
+from py_psnode_tpu.ops.fused_dae_vjp import fused_dae_rollout_diff  # noqa: F401
+from py_psnode_tpu.ops.fused_model import fused_dae_apply  # noqa: F401

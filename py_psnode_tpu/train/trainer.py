@@ -85,6 +85,9 @@ class TrainConfig:
     skip_nonfinite: bool = False
     # structured metrics (train_metrics.jsonl) alongside the text logs
     jsonl_metrics: bool = True
+    # route the DAE no-encode forward through the fused Pallas kernel pair
+    # (~5x faster rollout; requires euler/rk4 and no teacher forcing)
+    fused: bool = False
 
 
 class Trainer:
@@ -129,13 +132,29 @@ class Trainer:
 
     # ------------------------------------------------------------ train step
 
+    def _forward_fn(self, model):
+        variant = self.variant
+        if self.cfg.fused and variant.name == "dae_no_encode":
+            from py_psnode_tpu.ops import fused_dae_apply
+
+            dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+            interpret = jax.default_backend() == "cpu"  # Pallas on CPU = interpreter
+            return lambda params, batch: fused_dae_apply(
+                params, batch, dims4, model.hidden_dim, solver=model.solver,
+                interpret=interpret,
+            )
+        return lambda params, batch: model.apply(
+            params, *[batch[k] for k in variant.batch_args]
+        )
+
     def _make_train_step(self, model, tx):
         variant = self.variant
         precision = self.cfg.matmul_precision
+        forward = self._forward_fn(model)
 
         def loss_of(params, batch):
             with jax.default_matmul_precision(precision) if precision != "default" else _nullcontext():
-                out = model.apply(params, *[batch[k] for k in variant.batch_args])
+                out = forward(params, batch)
             return variant.loss_fn(out, batch)
 
         def step(params, opt_state, batch):
@@ -165,10 +184,11 @@ class Trainer:
 
     def _make_eval_apply(self, model):
         variant = self.variant
+        forward = self._forward_fn(model)
 
         @jax.jit
-        def fwd(params, *args):
-            out = model.apply(params, *args)
+        def fwd(params, batch):
+            out = forward(params, batch)
             if variant.kind == "dae":
                 return {"x": out[0], "i": out[1]}
             if isinstance(out, tuple):
@@ -177,7 +197,8 @@ class Trainer:
 
         def apply_fn_factory(params):
             return lambda batch: fwd(
-                params, *[jnp.asarray(batch[k]) for k in variant.batch_args]
+                params,
+                {k: jnp.asarray(batch[k]) for k in variant.batch_args},
             )
 
         return apply_fn_factory
