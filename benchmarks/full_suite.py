@@ -1,0 +1,136 @@
+"""Extended benchmark suite — the five BASELINE.json configs.
+
+  1. ODE no-encode (fixed-grid RK4)           — train-step throughput
+  2. ODE direct-encode (latent dynamics)      — train-step throughput
+  3. DAE no-encode (state + algebraic nets)   — XLA and fused-Pallas paths
+  4. DAE direct-encode (latent DAE)           — train-step throughput
+  5. Component fleet at IEEE-39 scale         — 10 generators x ~100
+     disturbance scenarios folded into one batch (B=1024), long horizon,
+     fused path (the "fleet batching" north star)
+
+Writes BENCH_DETAILS.json at the repo root and prints a table.
+Run: python benchmarks/full_suite.py [--quick]
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def _batch(rng, B, T, dims, dae):
+    f32 = np.float32
+    xd, zd, vd, idim = dims
+    t = (np.cumsum(np.full((B, T, 1), 0.01, f32), axis=1) - 0.01).astype(f32)
+    b = {
+        "t": t,
+        "x": rng.normal(size=(B, T, xd)).astype(f32),
+        "z": rng.normal(size=(B, T, zd)).astype(f32),
+        "event_t": np.full((B, 2), -1.0, f32),
+        "z_jump": rng.normal(size=(B, 2, zd)).astype(f32),
+        "mask": np.ones((B, T, 1), f32),
+    }
+    b["event_t"][:, 0] = t[0, T // 3, 0]
+    if dae:
+        b["v"] = rng.normal(size=(B, T, vd)).astype(f32)
+        b["i"] = rng.normal(size=(B, T, idim)).astype(f32)
+        b["v_jump"] = rng.normal(size=(B, 2, vd)).astype(f32)
+    return b
+
+
+def bench_config(name, variant_name, B, T, h, solver="rk4", fused=False, iters=30):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from py_psnode_tpu.ops import fused_dae_apply
+    from py_psnode_tpu.train.optim import make_optimizer
+    from py_psnode_tpu.train.variants import get_variant
+
+    v = get_variant(variant_name)
+    rng = np.random.default_rng(0)
+    dims = (2, 1, 2, 2) if v.kind == "dae" else (2, 2, 0, 0)
+    raw = _batch(rng, B, T, dims, v.kind == "dae")
+    jb = {k: jnp.asarray(x) for k, x in raw.items()}
+    if v.kind == "dae":
+        model_dims = dict(x_dim=2, z_dim=1, v_dim=2, i_dim=2)
+    else:
+        model_dims = dict(x_dim=2, z_dim=2)
+    model = v.make_model(model_dims, h, solver=solver, unroll=8)
+    args = tuple(jb[k] for k in v.batch_args)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
+
+    if fused:
+        forward = lambda p, b: fused_dae_apply(p, b, (2, 1, 2, 2), h, solver=solver)
+    else:
+        forward = lambda p, b: model.apply(p, *[b[k] for k in v.batch_args])
+
+    @jax.jit
+    def step(params, opt_state, b):
+        def loss_of(p):
+            return v.loss_fn(forward(p, b), b)
+
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        u, o2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, u), o2, loss
+
+    opt = tx.init(params)
+    params, opt, loss = step(params, opt, jb)
+    l0 = float(loss)
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt, loss = step(params, opt, jb)
+    lN = float(loss)
+    sec = (time.time() - t0) / iters
+    return {
+        "name": name,
+        "variant": variant_name,
+        "batch": B,
+        "t_len": T,
+        "hidden": h,
+        "solver": solver,
+        "fused": fused,
+        "ms_per_train_step": round(sec * 1e3, 2),
+        "traj_steps_per_sec": round(B * (T - 1) / sec, 1),
+        "loss_first": l0,
+        "loss_last": lN,
+    }
+
+
+def main():
+    quick = "--quick" in sys.argv
+    T = 251 if quick else 1001
+    Tfleet = 251 if quick else 2001
+    iters = 10 if quick else 30
+    configs = [
+        ("1. ODE no-encode RK4", "ode_no_encode", 64, T, 128, "rk4", False),
+        ("2. ODE direct-encode", "ode_encode", 64, T, 128, "euler", False),
+        ("3a. DAE no-encode (XLA)", "dae_no_encode", 64, T, 128, "rk4", False),
+        ("3b. DAE no-encode (fused)", "dae_no_encode", 64, T, 128, "rk4", True),
+        ("4. DAE direct-encode", "dae_encode", 64, T, 128, "euler", False),
+        ("5. Fleet IEEE-39 (fused)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True),
+    ]
+    results = []
+    for name, vn, B, TT, h, solver, fused in configs:
+        try:
+            r = bench_config(name, vn, B, TT, h, solver, fused, iters=iters)
+        except Exception as e:  # keep going; record the failure
+            r = {"name": name, "error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        print(json.dumps(r))
+    out = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAILS.json"
+    baseline = None
+    pin_file = pathlib.Path(__file__).parent / "baseline_pin.json"
+    if pin_file.exists():
+        baseline = json.loads(pin_file.read_text())
+    out.write_text(json.dumps({"results": results, "torch_cpu_baseline": baseline}, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
