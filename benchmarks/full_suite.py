@@ -104,6 +104,7 @@ def bench_config(name, variant_name, B, T, h, solver="rk4", fused=False, iters=3
 
 def main():
     quick = "--quick" in sys.argv
+    only = [a for a in sys.argv[1:] if a.isdigit()]
     T = 251 if quick else 1001
     Tfleet = 251 if quick else 2001
     iters = 10 if quick else 30
@@ -116,14 +117,22 @@ def main():
         ("5. Fleet IEEE-39 (fused)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True),
     ]
     results = []
-    for name, vn, B, TT, h, solver, fused in configs:
+    for idx, (name, vn, B, TT, h, solver, fused) in enumerate(configs):
+        if only and str(idx) not in only:
+            continue
+        cfg_iters = max(5, iters // 3) if B >= 512 else iters
         try:
-            r = bench_config(name, vn, B, TT, h, solver, fused, iters=iters)
+            r = bench_config(name, vn, B, TT, h, solver, fused, iters=cfg_iters)
         except Exception as e:  # keep going; record the failure
             r = {"name": name, "error": f"{type(e).__name__}: {e}"}
         results.append(r)
         print(json.dumps(r))
     out = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAILS.json"
+    if out.exists() and only:
+        prev = {r["name"]: r for r in json.loads(out.read_text())["results"]}
+        for r in results:
+            prev[r["name"]] = r
+        results = list(prev.values())
     baseline = None
     pin_file = pathlib.Path(__file__).parent / "baseline_pin.json"
     if pin_file.exists():

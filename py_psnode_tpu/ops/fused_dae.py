@@ -39,6 +39,14 @@ _ONE_THIRD = 1.0 / 3.0
 _TWO_THIRDS = 2.0 / 3.0
 
 
+def pick_batch_block(B: int, block_b: int = 128) -> int:
+    """Largest divisor of B that is <= block_b (VMEM-friendly batch tile)."""
+    bB = min(block_b, B)
+    while B % bB:
+        bB -= 1
+    return bB
+
+
 def _elu(x):
     # exp(x)-1 instead of expm1: the latter has no Pallas TPU lowering;
     # absolute error stays ~1e-8 in f32 for the x<0 branch
@@ -129,7 +137,9 @@ def _kernel(
     x_c, i_c, i_in_buf,
     *, solver: str,
 ):
-    t = pl.program_id(0)
+    # grid = (n_batch_blocks, T-1): batch-major, time sequential within a
+    # block; carries reset at each block's first step
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -191,6 +201,7 @@ def fused_dae_rollout(
     *,
     solver: str = "rk4",
     interpret: bool = False,
+    block_b: int = 128,
 ):
     """Run the fused rollout.
 
@@ -212,11 +223,17 @@ def fused_dae_rollout(
     ev_f = ev.astype(jnp.float32)[..., None]  # [T-1, B, 1]
     any_ev = jnp.any(ev, axis=-1).astype(jnp.int32)  # [T-1] scalar-prefetch
 
+    bB = pick_batch_block(B, block_b)
+    nB = B // bB
+
     step_spec = lambda d: pl.BlockSpec(
-        (1, B, d), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+        (1, bB, d), lambda b, t, *_: (t, b, 0), memory_space=pltpu.VMEM
+    )
+    bspec = lambda d: pl.BlockSpec(
+        (bB, d), lambda b, t, *_: (b, 0), memory_space=pltpu.VMEM
     )
     full = lambda shape: pl.BlockSpec(
-        shape, lambda t, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        shape, lambda b, t, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
     w_order = (
@@ -225,7 +242,7 @@ def fused_dae_rollout(
     )
     in_specs = [
         step_spec(h), step_spec(h), step_spec(h), step_spec(1), step_spec(1),
-        full(x0.shape), full(i0.shape),
+        bspec(xd), bspec(idim),
     ] + [full(weights[k].shape) for k in w_order]
 
     out_shape = (
@@ -234,13 +251,13 @@ def fused_dae_rollout(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Tm1,),
+        grid=(nB, Tm1),
         in_specs=in_specs,
         out_specs=(step_spec(xd), step_spec(idim)),
         scratch_shapes=[
-            pltpu.VMEM((B, xd), jnp.float32),
-            pltpu.VMEM((B, idim), jnp.float32),
-            pltpu.VMEM((B, idim), jnp.float32),
+            pltpu.VMEM((bB, xd), jnp.float32),
+            pltpu.VMEM((bB, idim), jnp.float32),
+            pltpu.VMEM((bB, idim), jnp.float32),
         ],
     )
     xs, is_ = pl.pallas_call(

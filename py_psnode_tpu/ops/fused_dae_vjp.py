@@ -35,7 +35,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from py_psnode_tpu.ops.fused_dae import _dot, _elu, fused_dae_rollout
+from py_psnode_tpu.ops.fused_dae import (
+    _dot,
+    _elu,
+    fused_dae_rollout,
+    pick_batch_block,
+)
 
 _ONE_THIRD = 1.0 / 3.0
 
@@ -71,13 +76,18 @@ def _bwd_kernel(
     gx_c, gi_c, i_in_buf,
     *, solver: str,
 ):
-    s = pl.program_id(0)
-    n = pl.num_programs(0)
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    n = pl.num_programs(1)
 
     @pl.when(s == 0)
     def _():
+        # reverse carries reset at each batch block's first reverse step
         gx_c[:] = jnp.zeros_like(gx_c)
         gi_c[:] = jnp.zeros_like(gi_c)
+
+    @pl.when((s == 0) & (b == 0))
+    def _():
         for r in (
             d_wx_ref, d_wi_ref, d_w2_ref, d_b2_ref, d_w3_ref, d_b3_ref,
             d_w4_ref, d_b4_ref, d_gx_ref, d_g2_ref, d_c2_ref, d_g3_ref,
@@ -252,7 +262,7 @@ def _bwd_kernel(
 
 def _run_backward(
     streams, weights, x0, i0, dt, ev, x_solution, i_solution, dX, dI, *,
-    solver, interpret,
+    solver, interpret, block_b=128,
 ):
     s_de, s_ae, s_ae_ev = streams["s_de"], streams["s_ae"], streams["s_ae_ev"]
     Tm1, B, h = s_de.shape
@@ -260,15 +270,20 @@ def _run_backward(
     idim = i0.shape[-1]
     ev_f = ev.astype(jnp.float32)[..., None]
     any_ev = jnp.any(ev, axis=-1).astype(jnp.int32)
+    bB = pick_batch_block(B, block_b)
+    nB = B // bB
 
     rev = lambda d: pl.BlockSpec(
-        (1, B, d), lambda s, *_: (Tm1 - 1 - s, 0, 0), memory_space=pltpu.VMEM
+        (1, bB, d), lambda b, s, *_: (Tm1 - 1 - s, b, 0), memory_space=pltpu.VMEM
     )
     rev_p1 = lambda d: pl.BlockSpec(  # row t+1 of a [T, B, d] array
-        (1, B, d), lambda s, *_: (Tm1 - s, 0, 0), memory_space=pltpu.VMEM
+        (1, bB, d), lambda b, s, *_: (Tm1 - s, b, 0), memory_space=pltpu.VMEM
+    )
+    bspec = lambda d: pl.BlockSpec(
+        (bB, d), lambda b, s, *_: (b, 0), memory_space=pltpu.VMEM
     )
     full = lambda shape: pl.BlockSpec(
-        shape, lambda s, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        shape, lambda b, s, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
     in_specs = [
@@ -295,17 +310,17 @@ def _run_backward(
     out_specs = (
         rev(h), rev(h), rev(h),
         *[full(gshape(k)) for k in W_ORDER],
-        full((B, xd)), full((B, idim)),
+        bspec(xd), bspec(idim),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Tm1,),
+        grid=(nB, Tm1),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((B, xd), jnp.float32),
-            pltpu.VMEM((B, idim), jnp.float32),
-            pltpu.VMEM((B, idim), jnp.float32),
+            pltpu.VMEM((bB, xd), jnp.float32),
+            pltpu.VMEM((bB, idim), jnp.float32),
+            pltpu.VMEM((bB, idim), jnp.float32),
         ],
     )
     outs = pl.pallas_call(
