@@ -134,13 +134,20 @@ class Trainer:
 
     def _forward_fn(self, model):
         variant = self.variant
+        interpret = jax.default_backend() == "cpu"  # Pallas on CPU = interpreter
         if self.cfg.fused and variant.name == "dae_no_encode":
             from py_psnode_tpu.ops import fused_dae_apply
 
             dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
-            interpret = jax.default_backend() == "cpu"  # Pallas on CPU = interpreter
             return lambda params, batch: fused_dae_apply(
                 params, batch, dims4, model.hidden_dim, solver=model.solver,
+                interpret=interpret,
+            )
+        if self.cfg.fused and variant.name == "ode_no_encode":
+            from py_psnode_tpu.ops.fused_ode import fused_ode_apply
+
+            return lambda params, batch: fused_ode_apply(
+                params, batch, x_dim=model.x_dim, solver=model.solver,
                 interpret=interpret,
             )
         return lambda params, batch: model.apply(
