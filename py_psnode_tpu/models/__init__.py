@@ -10,3 +10,4 @@ from py_psnode_tpu.models.funcs import (  # noqa: F401
 )
 from py_psnode_tpu.models.ode import ODEModel, ODEEncodeModel  # noqa: F401
 from py_psnode_tpu.models.dae import DAEModel, DAEEncodeModel  # noqa: F401
+from py_psnode_tpu.models.channelwise import ChannelWiseODEModel  # noqa: F401

