@@ -22,7 +22,7 @@ which has no analogue here).
 from __future__ import annotations
 
 import pathlib
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

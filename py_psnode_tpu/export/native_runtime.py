@@ -10,7 +10,7 @@ from __future__ import annotations
 import ctypes
 import pathlib
 import subprocess
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

@@ -28,7 +28,7 @@ where ``t`` never requires grad).
 from __future__ import annotations
 
 import functools
-from typing import Dict
+
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ Pinned reference semantics:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import pathlib
 from typing import Callable, Optional, Tuple
 
 import numpy as np

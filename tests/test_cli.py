@@ -1,0 +1,68 @@
+"""CLI entry-point tests: flag parity, mode dispatch, end-to-end tiny run."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from py_psnode_tpu.cli.common import build_parser, main
+from py_psnode_tpu.data import write_avr_dataset
+
+
+def test_parser_flag_parity():
+    """The 14 reference flags must all parse (ref script1:204-255)."""
+    parser = build_parser()
+    args = parser.parse_args(
+        [
+            "--device", "cpu", "--id", "0", "--training", "--testing",
+            "--saving", "--drawing", "--train_data", "a.npz",
+            "--test_data", "b.npz", "--model", "m", "--num", "10",
+            "--batch", "4", "--hidden", "8", "--epoch", "2", "--step", "11",
+        ]
+    )
+    assert args.training and args.testing and args.saving and args.drawing
+    assert args.num == 10 and args.batch == 4 and args.hidden == 8
+    assert args.epoch == 2 and args.step == 11
+
+
+def test_parser_defaults_match_reference():
+    args = build_parser().parse_args([])
+    assert args.num == 3200 and args.batch == 64 and args.hidden == 128
+    assert args.epoch == 400 and args.step == 1001
+
+
+def test_cli_no_mode_exits():
+    with pytest.raises(SystemExit):
+        main("ode_no_encode", argv=["--device", "cpu"])
+
+
+def test_cli_bad_device_exits():
+    with pytest.raises(SystemExit):
+        main("ode_no_encode", argv=["--device", "quantum", "--training"])
+
+
+def test_cli_training_end_to_end(tmp_path):
+    train_f, test_f = write_avr_dataset(tmp_path / "d", n_train=12, n_test=6, n_steps=21)
+    main(
+        "ode_no_encode",
+        argv=[
+            "--device", "cpu", "--training",
+            "--train_data", str(train_f), "--test_data", str(test_f),
+            "--model", str(tmp_path / "m"), "--num", "8", "--batch", "4",
+            "--hidden", "8", "--epoch", "1", "--step", "21",
+        ],
+    )
+    assert (tmp_path / "m" / "model_checkpoint.1").exists()
+    assert (tmp_path / "m" / "training.log").exists()
+    # testing mode on the produced checkpoint
+    main(
+        "ode_no_encode",
+        argv=[
+            "--device", "cpu", "--testing",
+            "--test_data", str(test_f),
+            "--model", str(tmp_path / "m" / "model_checkpoint.1"),
+            "--hidden", "8",
+        ],
+    )
+    logs = list((tmp_path / "m").glob("Model_*_Evaluation.log"))
+    assert logs, "testing mode wrote no evaluation log"
