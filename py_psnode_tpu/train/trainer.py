@@ -93,6 +93,12 @@ class TrainConfig:
     # penalizes window-boundary continuity defects.
     n_windows: Optional[int] = None
     gap_weight: float = 1.0
+    # keep the whole training set resident on device and gather batches by
+    # index inside the jitted step — removes per-step host→device transfers
+    # (measured 43 ms/step through this machine's device tunnel). Applied
+    # when the dataset fits under device_data_max_bytes; single-device only.
+    device_data: bool = True
+    device_data_max_bytes: int = 2 << 30
 
 
 class Trainer:
@@ -181,7 +187,7 @@ class Trainer:
             f"multi-shooting supports the no-encode variants, not {variant.name}"
         )
 
-    def _make_train_step(self, model, tx):
+    def _make_train_step(self, model, tx, device_data=None):
         variant = self.variant
         cfg = self.cfg
         precision = cfg.matmul_precision
@@ -221,6 +227,16 @@ class Trainer:
                 lambda n, o: jnp.where(keep, n, o), new_params, params
             )
             return params, opt_state, aux, gnorm
+
+        if device_data is not None:
+            # device-resident dataset: gather the batch by index inside jit
+            # (idx/sample_w are the only per-step host→device transfers)
+            def step_idx(params, opt_state, idx, sample_w):
+                batch = {k: v[idx] for k, v in device_data.items()}
+                batch["sample_w"] = sample_w
+                return step(params, opt_state, batch)
+
+            return jax.jit(step_idx, donate_argnums=(0, 1))
 
         if self.mesh is not None:
             rep = replicated(self.mesh)
@@ -304,7 +320,20 @@ class Trainer:
             f"cut_length: {cfg.step}, learning_rate: {cfg.learning_rate}"
         )
 
-        train_step = self._make_train_step(model, tx)
+        # device-resident training data when it fits (single-device path)
+        data_keys = variant.batch_args + ("mask",)
+        n_bytes = sum(getattr(train_ds, k).nbytes for k in data_keys)
+        use_device_data = (
+            cfg.device_data
+            and self.mesh is None
+            and n_bytes <= cfg.device_data_max_bytes
+        )
+        device_data = (
+            {k: jnp.asarray(getattr(train_ds, k)) for k in data_keys}
+            if use_device_data
+            else None
+        )
+        train_step = self._make_train_step(model, tx, device_data=device_data)
         apply_fn_factory = self._make_eval_apply(model)
         pic_path = model_path / "pics" if cfg.drawing else None
         eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
@@ -330,12 +359,32 @@ class Trainer:
         epochs = range(1, cfg.epoch + 1)
         if cfg.progress:
             epochs = tqdm(epochs, desc="Epoch", ncols=80)
+        def _epoch_steps(epoch):
+            """Yield per-batch train_step argument tuples for this epoch."""
+            if use_device_data:
+                order = np.random.default_rng(cfg.seed + epoch).permutation(
+                    len(train_ds)
+                )
+                for s in range(0, len(order), cfg.batch):
+                    idx = order[s : s + cfg.batch]
+                    n_real = len(idx)
+                    if n_real < cfg.batch:
+                        idx = np.concatenate(
+                            [idx, np.repeat(idx[-1:], cfg.batch - n_real)]
+                        )
+                    w = (np.arange(cfg.batch) < n_real).astype(np.float32)
+                    yield (jnp.asarray(idx), jnp.asarray(w))
+            else:
+                for batch in train_ds.batches(
+                    cfg.batch, shuffle=True, seed=cfg.seed + epoch
+                ):
+                    yield (self._prep_batch(batch, cfg.batch),)
+
         for epoch in epochs:
-            for i_batch, batch in enumerate(
-                train_ds.batches(cfg.batch, shuffle=True, seed=cfg.seed + epoch)
-            ):
-                batch = self._prep_batch(batch, cfg.batch)
-                params, opt_state, aux, gnorm = train_step(params, opt_state, batch)
+            for i_batch, step_args in enumerate(_epoch_steps(epoch)):
+                params, opt_state, aux, gnorm = train_step(
+                    params, opt_state, *step_args
+                )
                 for k in variant.loss_keys:
                     records[k][i_batch % nrec] = float(aux[k])
                 grad_record[i_batch % nrec] = float(gnorm)
