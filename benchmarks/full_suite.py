@@ -47,7 +47,11 @@ def bench_config(name, variant_name, B, T, h, solver="rk4", fused=False, iters=3
     import jax.numpy as jnp
     import optax
 
-    from py_psnode_tpu.ops import fused_dae_apply
+    from py_psnode_tpu.ops import (
+        fused_dae_apply,
+        fused_dae_encode_apply,
+    )
+    from py_psnode_tpu.ops.fused_ode import fused_ode_apply, fused_ode_encode_apply
     from py_psnode_tpu.train.optim import make_optimizer
     from py_psnode_tpu.train.variants import get_variant
 
@@ -65,8 +69,14 @@ def bench_config(name, variant_name, B, T, h, solver="rk4", fused=False, iters=3
     params = model.init(jax.random.PRNGKey(0), *args)
     tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
 
-    if fused:
+    if fused and variant_name == "dae_no_encode":
         forward = lambda p, b: fused_dae_apply(p, b, (2, 1, 2, 2), h, solver=solver)
+    elif fused and variant_name == "dae_encode":
+        forward = lambda p, b: fused_dae_encode_apply(p, b, (2, 1, 2, 2), h, solver=solver)
+    elif fused and variant_name == "ode_no_encode":
+        forward = lambda p, b: fused_ode_apply(p, b, 2, solver=solver)
+    elif fused and variant_name == "ode_encode":
+        forward = lambda p, b: fused_ode_encode_apply(p, b, h, solver=solver)
     else:
         forward = lambda p, b: model.apply(p, *[b[k] for k in v.batch_args])
 
@@ -109,11 +119,14 @@ def main():
     Tfleet = 251 if quick else 2001
     iters = 10 if quick else 30
     configs = [
-        ("1. ODE no-encode RK4", "ode_no_encode", 64, T, 128, "rk4", False),
-        ("2. ODE direct-encode", "ode_encode", 64, T, 128, "euler", False),
+        ("1a. ODE no-encode RK4 (XLA)", "ode_no_encode", 64, T, 128, "rk4", False),
+        ("1b. ODE no-encode RK4 (fused)", "ode_no_encode", 64, T, 128, "rk4", True),
+        ("2a. ODE direct-encode (XLA)", "ode_encode", 64, T, 128, "euler", False),
+        ("2b. ODE direct-encode (fused)", "ode_encode", 64, T, 128, "euler", True),
         ("3a. DAE no-encode (XLA)", "dae_no_encode", 64, T, 128, "rk4", False),
         ("3b. DAE no-encode (fused)", "dae_no_encode", 64, T, 128, "rk4", True),
-        ("4. DAE direct-encode", "dae_encode", 64, T, 128, "euler", False),
+        ("4a. DAE direct-encode (XLA)", "dae_encode", 64, T, 128, "euler", False),
+        ("4b. DAE direct-encode (fused)", "dae_encode", 64, T, 128, "euler", True),
         ("5. Fleet IEEE-39 (fused)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True),
     ]
     results = []

@@ -1,4 +1,4 @@
-"""Pallas fused-scan kernel for the DAE no-encode rollout.
+"""Pallas fused-scan kernel for semi-explicit DAE rollouts (depth-generic).
 
 The XLA path executes the per-step nets as a sequence of small HLO ops inside
 ``lax.scan``; this kernel instead runs the WHOLE time loop as one Pallas
@@ -14,29 +14,29 @@ state across steps):
     large MXU-friendly matmuls (see :func:`precompute_streams`), leaving only
     the ``x``/``i`` projections in the sequential loop;
   * disturbance events stay branch-free: the per-step "any event" flag is
-    streamed through SMEM and gates a predicated (``pl.when``) algebraic
-    recompute, so non-event steps pay nothing (semantics of ref
-    my_solvers.py:108-114).
+    streamed through SMEM (scalar prefetch) and gates a predicated
+    (``pl.when``) algebraic recompute, so non-event steps pay nothing
+    (semantics of ref my_solvers.py:108-114);
+  * the grid is (batch-block, time) so VMEM stays bounded at large batch.
 
-Forward-only (rollout mode, no teacher forcing): used for inference/eval and
-as the forward of the custom-VJP training path. Supports ``euler`` and
-``rk4`` (3/8 rule), pinned to the same semantics as
-:func:`py_psnode_tpu.solvers.integrate_dae` (golden-tested against it).
+Depth-generic: the differential and algebraic nets may have any number of
+hidden ``Dense→ELU`` layers (4-layer no-encode nets, 2-layer direct-encode
+latent nets — ref neural_01_DAE_02_direct_encode.py:70-100). Forward-only
+here; the custom-VJP training path lives in
+:mod:`py_psnode_tpu.ops.fused_dae_vjp`.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ONE_THIRD = 1.0 / 3.0
-_TWO_THIRDS = 2.0 / 3.0
 
 
 def pick_batch_block(B: int, block_b: int = 128) -> int:
@@ -63,6 +63,18 @@ def split_de_layer1(W1: jnp.ndarray, b1: jnp.ndarray, d_u: int):
     return Wa - Wb, Wb + Wc, b1
 
 
+def mlp_tail_layers(subtree: Dict) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Ordered ``[(kernel, bias), ...]`` of ``dense_1..dense_{n-1}`` — the
+    layers AFTER the (lifted) first layer of a flax MLP subtree."""
+    out = []
+    k = 1
+    while f"dense_{k}" in subtree:
+        layer = subtree[f"dense_{k}"]
+        out.append((layer["kernel"], layer["bias"]))
+        k += 1
+    return out
+
+
 def precompute_streams(
     params: Dict,
     all_initial: jnp.ndarray,
@@ -71,74 +83,100 @@ def precompute_streams(
     z_step: jnp.ndarray,
     v_step: jnp.ndarray,
     dims: Tuple[int, int, int, int],
+    de_path: Tuple[str, str] = ("de_func", "x_dot"),
+    ae_path: Tuple[str, str] = ("ae_func", "i_calculator"),
 ):
     """Lift scan-invariant layer-1 work out of the loop.
 
     Args:
-      params: flax param subtree with ``de_func/x_dot/dense_*`` and
-        ``ae_func/i_calculator/dense_*`` entries.
+      params: flax param subtree containing the DE/AE nets at the given paths.
       all_initial: ``[B, d_u]`` (d_u = xd+zd+vd+id).
       z, v: raw streams ``[T, B, *]`` (time-major).
       z_step, v_step: event-adjusted step streams ``[T-1, B, *]``.
+      dims: ``(xd, zd, vd, id)`` widths of the state/input streams (latent
+        widths for the direct-encode variants).
 
-    Returns ``(streams, weights)`` dicts for :func:`fused_dae_rollout`.
+    Returns ``(streams, weights)`` for :func:`fused_dae_rollout`; ``weights``
+    carries the dynamic layer-1 projections plus the tail-layer lists
+    ``de_tail``/``ae_tail`` (any depth).
     """
     xd, zd, vd, idim = dims
     d_u = xd + zd + vd + idim
-    de = params["de_func"]["x_dot"]
-    ae = params["ae_func"]["i_calculator"]
+    de = params[de_path[0]][de_path[1]]
+    ae = params[ae_path[0]][ae_path[1]]
 
     W1, b1 = de["dense_0"]["kernel"], de["dense_0"]["bias"]
     Winit, Wu, b1 = split_de_layer1(W1, b1, d_u)
-    Wx_de = Wu[:xd]
-    Wz_de = Wu[xd : xd + zd]
-    Wv_de = Wu[xd + zd : xd + zd + vd]
-    Wi_de = Wu[xd + zd + vd :]
     c_de = all_initial @ Winit + b1  # [B, h]
-    s_de = c_de[None] + z_step @ Wz_de + v_step @ Wv_de  # [T-1, B, h]
+    s_de = c_de[None] + z_step @ Wu[xd : xd + zd] + v_step @ Wu[xd + zd : xd + zd + vd]
 
     G1, g1 = ae["dense_0"]["kernel"], ae["dense_0"]["bias"]
     # AE input is cat(init, x, z, v) — init concatenated, not differenced
-    Ginit = G1[:d_u]
     Gx = G1[d_u : d_u + xd]
     Gz = G1[d_u + xd : d_u + xd + zd]
     Gv = G1[d_u + xd + zd :]
-    c_ae = all_initial @ Ginit + g1
+    c_ae = all_initial @ G1[:d_u] + g1
     s_ae = c_ae[None] + z[1:] @ Gz + v[1:] @ Gv  # AE at t+1 uses raw inputs
     s_ae_ev = c_ae[None] + z_step @ Gz + v_step @ Gv  # event-recompute inputs
 
     weights = dict(
-        wx_de=Wx_de,
-        wi_de=Wi_de,
-        w2=de["dense_1"]["kernel"], b2=de["dense_1"]["bias"],
-        w3=de["dense_2"]["kernel"], b3=de["dense_2"]["bias"],
-        w4=de["dense_3"]["kernel"], b4=de["dense_3"]["bias"],
+        wx_de=Wu[:xd],
+        wi_de=Wu[xd + zd + vd :],
         gx_ae=Gx,
-        g2=ae["dense_1"]["kernel"], c2=ae["dense_1"]["bias"],
-        g3=ae["dense_2"]["kernel"], c3=ae["dense_2"]["bias"],
-        g4=ae["dense_3"]["kernel"], c4=ae["dense_3"]["bias"],
+        de_tail=mlp_tail_layers(de),
+        ae_tail=mlp_tail_layers(ae),
     )
     streams = dict(s_de=s_de, s_ae=s_ae, s_ae_ev=s_ae_ev)
     return streams, weights
 
 
+def flatten_weights(weights: Dict) -> Tuple[List[jnp.ndarray], Tuple[int, int]]:
+    """Flatten to a positional list for pallas_call:
+    ``[wx_de, wi_de, gx_ae, de W/b pairs..., ae W/b pairs...]``;
+    returns the list and ``(n_de_tail, n_ae_tail)``."""
+    flat = [weights["wx_de"], weights["wi_de"], weights["gx_ae"]]
+    for W, b in weights["de_tail"]:
+        flat += [W, b]
+    for W, b in weights["ae_tail"]:
+        flat += [W, b]
+    return flat, (len(weights["de_tail"]), len(weights["ae_tail"]))
+
+
+def unflatten_weights(flat: Sequence, n_tails: Tuple[int, int]) -> Dict:
+    n_de, n_ae = n_tails
+    it = iter(flat[3:])
+    de_tail = [(next(it), next(it)) for _ in range(n_de)]
+    ae_tail = [(next(it), next(it)) for _ in range(n_ae)]
+    return dict(
+        wx_de=flat[0], wi_de=flat[1], gx_ae=flat[2],
+        de_tail=de_tail, ae_tail=ae_tail,
+    )
+
+
+def mlp_tail_fwd(h1, tail_refs):
+    """Apply the tail layers to the (pre-activation) first hidden layer."""
+    h = _elu(h1)
+    for k in range(0, len(tail_refs) - 2, 2):
+        h = _elu(_dot(h, tail_refs[k][:]) + tail_refs[k + 1][:])
+    return _dot(h, tail_refs[-2][:]) + tail_refs[-1][:]
+
+
 def _kernel(
     # scalar-prefetch: per-step any-event flags [T-1] (SMEM)
     any_ev_ref,
-    # streamed per-step blocks
-    s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref,
-    # whole-array inputs
-    x0_ref, i0_ref,
-    wx_de_ref, wi_de_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
-    gx_ae_ref, g2_ref, c2_ref, g3_ref, c3_ref, g4_ref, c4_ref,
-    # outputs
-    xsol_ref, isol_ref,
-    # scratch carries
-    x_c, i_c, i_in_buf,
-    *, solver: str,
+    # streamed per-step blocks + whole-array inputs + weights (positional)
+    *refs,
+    solver: str,
+    n_tails: Tuple[int, int],
 ):
-    # grid = (n_batch_blocks, T-1): batch-major, time sequential within a
-    # block; carries reset at each block's first step
+    (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref, x0_ref, i0_ref) = refs[:7]
+    n_de, n_ae = n_tails
+    w = refs[7 : 7 + 3 + 2 * (n_de + n_ae)]
+    wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
+    de_tail = w[3 : 3 + 2 * n_de]
+    ae_tail = w[3 + 2 * n_de :]
+    xsol_ref, isol_ref, x_c, i_c, i_in_buf = refs[7 + 3 + 2 * (n_de + n_ae) :]
+
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -149,10 +187,7 @@ def _kernel(
     x0 = x_c[:]
 
     def ae_head(x, s_row):
-        h1 = _elu(s_row + _dot(x, gx_ae_ref[:]))
-        h2 = _elu(_dot(h1, g2_ref[:]) + c2_ref[:])
-        h3 = _elu(_dot(h2, g3_ref[:]) + c3_ref[:])
-        return _dot(h3, g4_ref[:]) + c4_ref[:]
+        return mlp_tail_fwd(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
 
     # event-step algebraic recompute (ref my_solvers.py:108-110), predicated
     # so non-event steps skip the extra net evaluation
@@ -167,10 +202,7 @@ def _kernel(
     i_proj = _dot(i_in, wi_de_ref[:])
 
     def f(x):
-        h1 = _elu(s_de_ref[0] + _dot(x, wx_de_ref[:]) + i_proj)
-        h2 = _elu(_dot(h1, w2_ref[:]) + b2_ref[:])
-        h3 = _elu(_dot(h2, w3_ref[:]) + b3_ref[:])
-        return _dot(h3, w4_ref[:]) + b4_ref[:]
+        return mlp_tail_fwd(s_de_ref[0] + _dot(x, wx_de_ref[:]) + i_proj, de_tail)
 
     dt = dt_ref[0]
     if solver == "euler":
@@ -207,11 +239,11 @@ def fused_dae_rollout(
 
     Args:
       streams/weights: from :func:`precompute_streams`.
-      x0: ``[B, xd]`` initial differential state (Init_Func output).
+      x0: ``[B, xd]`` initial differential state (Init_Func output, or its
+        encoding for the direct-encode variants).
       i0: ``[B, id]`` initial algebraic output (AE at t=0, computed outside).
       dt: ``[T-1, B, 1]`` step sizes.
-      ev: ``[T-1, B]`` event mask (True where the step-start time is an
-        event time).
+      ev: ``[T-1, B]`` event mask.
 
     Returns ``(x_solution [T, B, xd], i_solution [T, B, id])`` including the
     initial row.
@@ -236,14 +268,11 @@ def fused_dae_rollout(
         shape, lambda b, t, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
-    w_order = (
-        "wx_de", "wi_de", "w2", "b2", "w3", "b3", "w4", "b4",
-        "gx_ae", "g2", "c2", "g3", "c3", "g4", "c4",
-    )
+    wflat, n_tails = flatten_weights(weights)
     in_specs = [
         step_spec(h), step_spec(h), step_spec(h), step_spec(1), step_spec(1),
         bspec(xd), bspec(idim),
-    ] + [full(weights[k].shape) for k in w_order]
+    ] + [full(wk.shape) for wk in wflat]
 
     out_shape = (
         jax.ShapeDtypeStruct((Tm1, B, xd), jnp.float32),
@@ -261,14 +290,11 @@ def fused_dae_rollout(
         ],
     )
     xs, is_ = pl.pallas_call(
-        functools.partial(_kernel, solver=solver),
+        functools.partial(_kernel, solver=solver, n_tails=n_tails),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(
-        any_ev, s_de, s_ae, s_ae_ev, dt, ev_f, x0, i0,
-        *[weights[k] for k in w_order],
-    )
+    )(any_ev, s_de, s_ae, s_ae_ev, dt, ev_f, x0, i0, *wflat)
     x_solution = jnp.concatenate([x0[None], xs], axis=0)
     i_solution = jnp.concatenate([i0[None], is_], axis=0)
     return x_solution, i_solution

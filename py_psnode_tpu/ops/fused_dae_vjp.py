@@ -1,4 +1,4 @@
-"""Custom-VJP training path for the fused Pallas DAE rollout.
+"""Custom-VJP training path for the fused Pallas DAE rollout (depth-generic).
 
 The backward pass is a second Pallas kernel that walks the time grid in
 REVERSE (grid index ``s`` maps to step ``t = T-2-s``), recomputing each
@@ -7,7 +7,7 @@ per-step residuals kept are the ``[T, B, xd]``/``[T, B, id]`` carries the
 forward produces anyway) and accumulating:
 
   * weight/bias gradients in VMEM output blocks with constant index maps
-    (zeroed at the first grid step, accumulated in place — the standard
+    (zeroed at the first grid iteration, accumulated in place — the standard
     Pallas accumulator pattern);
   * per-step cotangents for the precomputed layer-1 streams
     (``g_s_de``/``g_s_ae``/``g_s_ae_ev``), which XLA then backpropagates
@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import functools
 
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -38,16 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from py_psnode_tpu.ops.fused_dae import (
     _dot,
     _elu,
+    flatten_weights,
     fused_dae_rollout,
+    mlp_tail_fwd,
     pick_batch_block,
 )
 
 _ONE_THIRD = 1.0 / 3.0
-
-W_ORDER = (
-    "wx_de", "wi_de", "w2", "b2", "w3", "b3", "w4", "b4",
-    "gx_ae", "g2", "c2", "g3", "c3", "g4", "c4",
-)
 
 
 def _delu(p):
@@ -55,27 +51,61 @@ def _delu(p):
     return jnp.where(p > 0, 1.0, jnp.exp(jnp.minimum(p, 0.0)))
 
 
+def _tail_fwd_res(h1pre, tail):
+    """Forward through the tail layers keeping residuals for the VJP."""
+    n_hidden = len(tail) // 2 - 1
+    pres = [h1pre]
+    h = _elu(h1pre)
+    hs = [h]
+    for k in range(n_hidden):
+        pre = _dot(h, tail[2 * k][:]) + tail[2 * k + 1][:]
+        pres.append(pre)
+        h = _elu(pre)
+        hs.append(h)
+    out = _dot(h, tail[-2][:]) + tail[-1][:]
+    return out, (pres, hs)
+
+
+def _tail_bwd(res, gy, tail, d_tail):
+    """Backprop the tail; accumulates grads into ``d_tail`` refs (same
+    alternating W/b layout, biases shaped (1, dim)); returns the cotangent of
+    the FIRST-layer pre-activation ``h1pre``."""
+    pres, hs = res
+    n_hidden = len(tail) // 2 - 1
+    d_tail[-2][:] += _dot(hs[-1].T, gy)
+    d_tail[-1][:] += jnp.sum(gy, axis=0, keepdims=True)
+    g = _dot(gy, tail[-2][:].T)
+    for k in range(n_hidden - 1, -1, -1):
+        gpre = g * _delu(pres[k + 1])
+        d_tail[2 * k][:] += _dot(hs[k].T, gpre)
+        d_tail[2 * k + 1][:] += jnp.sum(gpre, axis=0, keepdims=True)
+        g = _dot(gpre, tail[2 * k][:].T)
+    return g * _delu(pres[0])
+
+
 def _bwd_kernel(
     any_ev_ref,
-    # per-step streams (reverse-indexed)
-    s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref,
-    xt_ref, it_ref, x1_ref,  # x_t, i_t, x_{t+1} from the saved solution
-    dX_ref, dI_ref,  # output cotangents for rows t+1
-    # weights
-    wx_de_ref, wi_de_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
-    gx_ae_ref, g2_ref, c2_ref, g3_ref, c3_ref, g4_ref, c4_ref,
-    # outputs: stream cotangents (per step)
-    gs_de_ref, gs_ae_ref, gs_ae_ev_ref,
-    # outputs: weight grads (accumulated, constant index maps)
-    d_wx_ref, d_wi_ref, d_w2_ref, d_b2_ref, d_w3_ref, d_b3_ref,
-    d_w4_ref, d_b4_ref, d_gx_ref, d_g2_ref, d_c2_ref, d_g3_ref, d_c3_ref,
-    d_g4_ref, d_c4_ref,
-    # outputs: initial-state cotangents (written at the last reverse step)
-    g_x0_ref, g_i0_ref,
-    # scratch: reverse carries + i_in buffer
-    gx_c, gi_c, i_in_buf,
-    *, solver: str,
+    *refs,
+    solver: str,
+    n_tails,
 ):
+    n_de, n_ae = n_tails
+    n_w = 3 + 2 * (n_de + n_ae)
+    (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref,
+     xt_ref, it_ref, x1_ref, dX_ref, dI_ref) = refs[:10]
+    w = refs[10 : 10 + n_w]
+    wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
+    de_tail = w[3 : 3 + 2 * n_de]
+    ae_tail = w[3 + 2 * n_de :]
+    outs = refs[10 + n_w :]
+    gs_de_ref, gs_ae_ref, gs_ae_ev_ref = outs[0], outs[1], outs[2]
+    gw = outs[3 : 3 + n_w]
+    d_wx_ref, d_wi_ref, d_gx_ref = gw[0], gw[1], gw[2]
+    d_de_tail = gw[3 : 3 + 2 * n_de]
+    d_ae_tail = gw[3 + 2 * n_de :]
+    g_x0_ref, g_i0_ref = outs[3 + n_w], outs[4 + n_w]
+    gx_c, gi_c, i_in_buf = outs[5 + n_w :]  # scratch trail the outputs
+
     b = pl.program_id(0)
     s = pl.program_id(1)
     n = pl.num_programs(1)
@@ -88,11 +118,7 @@ def _bwd_kernel(
 
     @pl.when((s == 0) & (b == 0))
     def _():
-        for r in (
-            d_wx_ref, d_wi_ref, d_w2_ref, d_b2_ref, d_w3_ref, d_b3_ref,
-            d_w4_ref, d_b4_ref, d_gx_ref, d_g2_ref, d_c2_ref, d_g3_ref,
-            d_c3_ref, d_g4_ref, d_c4_ref,
-        ):
+        for r in gw:
             r[:] = jnp.zeros_like(r)
 
     t = n - 1 - s  # forward step index
@@ -102,40 +128,21 @@ def _bwd_kernel(
     dt = dt_ref[0]
     ev = ev_ref[0]
 
-    # ---- recompute i_in exactly as the forward did ----
     def ae_fwd(x, s_row):
-        p1 = s_row + _dot(x, gx_ae_ref[:])
-        h1 = _elu(p1)
-        p2 = _dot(h1, g2_ref[:]) + c2_ref[:]
-        h2 = _elu(p2)
-        p3 = _dot(h2, g3_ref[:]) + c3_ref[:]
-        h3 = _elu(p3)
-        y = _dot(h3, g4_ref[:]) + c4_ref[:]
-        return y, (p1, h1, p2, h2, p3, h3)
+        return _tail_fwd_res(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
 
-    def ae_bwd(x, s_row, res, gy):
+    def ae_bwd(x, res, gy):
         """Accumulates AE weight grads; returns (g_x, g_s_row)."""
-        p1, h1, p2, h2, p3, h3 = res
-        d_g4_ref[:] += _dot(h3.T, gy)
-        d_c4_ref[:] += jnp.sum(gy, axis=0, keepdims=True)
-        gh3 = _dot(gy, g4_ref[:].T)
-        gp3 = gh3 * _delu(p3)
-        d_g3_ref[:] += _dot(h2.T, gp3)
-        d_c3_ref[:] += jnp.sum(gp3, axis=0, keepdims=True)
-        gh2 = _dot(gp3, g3_ref[:].T)
-        gp2 = gh2 * _delu(p2)
-        d_g2_ref[:] += _dot(h1.T, gp2)
-        d_c2_ref[:] += jnp.sum(gp2, axis=0, keepdims=True)
-        gh1 = _dot(gp2, g2_ref[:].T)
-        gp1 = gh1 * _delu(p1)
+        gp1 = _tail_bwd(res, gy, ae_tail, d_ae_tail)
         d_gx_ref[:] += _dot(x.T, gp1)
         return _dot(gp1, gx_ae_ref[:].T), gp1
 
+    # ---- recompute i_in exactly as the forward did ----
     i_in_buf[:] = i_t
 
     @pl.when(any_ev_ref[t] == 1)
     def _():
-        i_ev, _res = ae_fwd(x0, s_ae_ev_ref[0])
+        i_ev = mlp_tail_fwd(s_ae_ev_ref[0] + _dot(x0, gx_ae_ref[:]), ae_tail)
         i_in_buf[:] = jnp.where(ev > 0.0, i_ev, i_in_buf[:])
 
     i_in = i_in_buf[:]
@@ -147,44 +154,27 @@ def _bwd_kernel(
 
     # ---- AE at t+1: i_{t+1} = AE(x_{t+1}; s_ae[t]) ----
     _, res_ae = ae_fwd(x1, s_ae_ref[0])
-    g_x1_ae, gp1_ae = ae_bwd(x1, s_ae_ref[0], res_ae, gI1)
+    g_x1_ae, gp1_ae = ae_bwd(x1, res_ae, gI1)
     gs_ae_ref[0] = gp1_ae
     gX1 = gX1 + g_x1_ae
 
     # ---- differential step backward ----
     def F_fwd(x):
-        p1 = s_de_ref[0] + _dot(x, wx_de_ref[:]) + i_proj
-        h1 = _elu(p1)
-        p2 = _dot(h1, w2_ref[:]) + b2_ref[:]
-        h2 = _elu(p2)
-        p3 = _dot(h2, w3_ref[:]) + b3_ref[:]
-        h3 = _elu(p3)
-        f = _dot(h3, w4_ref[:]) + b4_ref[:]
-        return f, (x, p1, h1, p2, h2, p3, h3)
+        pre1 = s_de_ref[0] + _dot(x, wx_de_ref[:]) + i_proj
+        out, res = _tail_fwd_res(pre1, de_tail)
+        return out, (x, res)
 
-    def F_bwd(res, gf):
+    def F_bwd(xres, gf):
         """Accumulates DE weight grads; returns (g_x, g_i_in, g_s_de)."""
-        x, p1, h1, p2, h2, p3, h3 = res
-        d_w4_ref[:] += _dot(h3.T, gf)
-        d_b4_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
-        gh3 = _dot(gf, w4_ref[:].T)
-        gp3 = gh3 * _delu(p3)
-        d_w3_ref[:] += _dot(h2.T, gp3)
-        d_b3_ref[:] += jnp.sum(gp3, axis=0, keepdims=True)
-        gh2 = _dot(gp3, w3_ref[:].T)
-        gp2 = gh2 * _delu(p2)
-        d_w2_ref[:] += _dot(h1.T, gp2)
-        d_b2_ref[:] += jnp.sum(gp2, axis=0, keepdims=True)
-        gh1 = _dot(gp2, w2_ref[:].T)
-        gp1 = gh1 * _delu(p1)
+        x, res = xres
+        gp1 = _tail_bwd(res, gf, de_tail, d_de_tail)
         d_wx_ref[:] += _dot(x.T, gp1)
         d_wi_ref[:] += _dot(i_in.T, gp1)
         return _dot(gp1, wx_de_ref[:].T), _dot(gp1, wi_de_ref[:].T), gp1
 
     if solver == "euler":
         _, res = F_fwd(x0)
-        g_f = dt * gX1
-        g_x, g_i_in, gp1 = F_bwd(res, g_f)
+        g_x, g_i_in, gp1 = F_bwd(res, dt * gX1)
         g_x0 = gX1 + g_x
         gs_de = gp1
     elif solver == "rk4":
@@ -244,10 +234,9 @@ def _bwd_kernel(
     def _():
         g_ev_part = jnp.where(ev > 0.0, g_i_in, 0.0)
         _, res_ev = ae_fwd(x0, s_ae_ev_ref[0])
-        g_x_ev, gp1_ev = ae_bwd(x0, s_ae_ev_ref[0], res_ev, g_ev_part)
+        g_x_ev, gp1_ev = ae_bwd(x0, res_ev, g_ev_part)
         gs_ae_ev_ref[0] = gp1_ev
-        gx_c_cur = g_x0 + g_x_ev
-        gx_c[:] = gx_c_cur  # include event contribution in the x carry
+        gx_c[:] = g_x0 + g_x_ev  # include event contribution in the x carry
         gi_c[:] = jnp.where(ev > 0.0, 0.0, g_i_in)
 
     @pl.when(any_ev_ref[t] == 0)
@@ -286,6 +275,7 @@ def _run_backward(
         shape, lambda b, s, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    wflat, n_tails = flatten_weights(weights)
     in_specs = [
         rev(h), rev(h), rev(h), rev(1), rev(1),
         rev(xd),      # x_t   (rows 0..T-2 of x_solution)
@@ -293,23 +283,20 @@ def _run_backward(
         rev_p1(xd),   # x_{t+1}
         rev(xd),      # dX (cotangent rows for t+1, stored 0..T-2)
         rev(idim),    # dI
-    ] + [full(weights[k].shape) for k in W_ORDER]
+    ] + [full(wk.shape) for wk in wflat]
 
-    wshapes = {k: weights[k].shape for k in W_ORDER}
-    gshape = lambda k: (
-        wshapes[k] if len(wshapes[k]) == 2 else (1, wshapes[k][0])
-    )
+    gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
     out_shape = (
         jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),  # g_s_de
         jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),  # g_s_ae
         jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),  # g_s_ae_ev
-        *[jax.ShapeDtypeStruct(gshape(k), jnp.float32) for k in W_ORDER],
+        *[jax.ShapeDtypeStruct(gshape(wk), jnp.float32) for wk in wflat],
         jax.ShapeDtypeStruct((B, xd), jnp.float32),  # g_x0
         jax.ShapeDtypeStruct((B, idim), jnp.float32),  # g_i0
     )
     out_specs = (
         rev(h), rev(h), rev(h),
-        *[full(gshape(k)) for k in W_ORDER],
+        *[full(gshape(wk)) for wk in wflat],
         bspec(xd), bspec(idim),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -324,7 +311,7 @@ def _run_backward(
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, solver=solver),
+        functools.partial(_bwd_kernel, solver=solver, n_tails=n_tails),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -332,12 +319,16 @@ def _run_backward(
         any_ev,
         s_de, s_ae, s_ae_ev, dt, ev_f,
         x_solution[:-1], i_solution[:-1], x_solution, dX, dI,
-        *[weights[k] for k in W_ORDER],
+        *wflat,
     )
     gs_de, gs_ae, gs_ae_ev = outs[0], outs[1], outs[2]
-    gw = {}
-    for k, arr in zip(W_ORDER, outs[3 : 3 + len(W_ORDER)]):
-        gw[k] = arr if len(wshapes[k]) == 2 else arr[0]
+    gw_flat = [
+        arr if wk.ndim == 2 else arr[0]
+        for wk, arr in zip(wflat, outs[3 : 3 + len(wflat)])
+    ]
+    from py_psnode_tpu.ops.fused_dae import unflatten_weights
+
+    gw = unflatten_weights(gw_flat, n_tails)
     g_x0, g_i0 = outs[-2], outs[-1]
     g_streams = {"s_de": gs_de, "s_ae": gs_ae, "s_ae_ev": gs_ae_ev}
     return g_streams, gw, g_x0, g_i0

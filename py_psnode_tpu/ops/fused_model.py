@@ -65,3 +65,80 @@ def fused_dae_apply(
         streams, weights, x0, i0, dt, ev, solver, interpret
     )
     return tm(x_sol), tm(i_sol)
+
+
+def fused_dae_encode_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused forward for the DAE direct-encode variant
+    (ref neural_01_DAE_02_direct_encode.py:103-153): the five codecs and the
+    Init net run in XLA, the latent 2-layer DE/AE nets roll out through the
+    fused kernel pair, events jump in latent space, and the decoded initial
+    row is overwritten with the raw Init output (ref :150).
+
+    Returns ``(x_pred, i_pred, x_re, i_re)`` batch-major — the
+    ``DAEEncodeModel.__call__`` contract.
+    """
+    from py_psnode_tpu.models.funcs import Codec
+
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    p = params["params"]
+    tm = lambda a: jnp.swapaxes(a, 0, 1)
+
+    codec = lambda name, out: (
+        lambda a: Codec((h, out)).apply({"params": p[name]}, a)
+    )
+    x_enc = codec("x_encoder", h)
+    x_dec = codec("x_decoder", xd)
+    v_enc = codec("v_encoder", h)
+    i_enc = codec("i_encoder", h)
+    i_dec = codec("i_decoder", idim)
+    z_enc = codec("z_encoder", h) if zd != 0 else (lambda a: a)
+
+    tT = tm(batch["t"]).astype(jnp.float32)
+    zT_raw, vT_raw, iT_raw = tm(batch["z"]), tm(batch["v"]), tm(batch["i"])
+    x0 = InitFunc((h, h, xd)).apply(
+        {"params": p["init_func"]}, zT_raw[0], vT_raw[0], iT_raw[0]
+    )
+    xh0 = x_enc(x0)
+    xh = x_enc(batch["x"])
+    zh = z_enc(batch["z"])
+    vh = v_enc(batch["v"])
+    ih = i_enc(batch["i"])
+    zh_jump = (
+        z_enc(batch["z_jump"]) if batch.get("z_jump") is not None else None
+    )
+    vh_jump = (
+        v_enc(batch["v_jump"]) if batch.get("v_jump") is not None else None
+    )
+
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    zh_used = tm(jumped_stream(zh, zh_jump, is_event, e_idx))[:-1]
+    vh_used = tm(jumped_stream(vh, vh_jump, is_event, e_idx))[:-1]
+    ev = tm(is_event[:, :, None])[:-1, :, 0]
+
+    zhT, vhT, ihT = tm(zh), tm(vh), tm(ih)
+    all_initial = jnp.concatenate([xh0, zhT[0], vhT[0], ihT[0]], axis=-1)
+    zl = zh.shape[-1]  # latent z width (0 when z_dim == 0)
+    i0 = AEFunc((h, h)).apply(
+        {"params": p["ae_func"]}, all_initial, xh0, zhT[0], vhT[0]
+    )
+    streams, weights = precompute_streams(
+        p, all_initial, zhT, vhT, zh_used, vh_used, (h, zl, h, h)
+    )
+    dt = tT[1:] - tT[:-1]
+    xh_sol, ih_sol = fused_dae_rollout_diff(
+        streams, weights, xh0, i0, dt, ev, solver, interpret
+    )
+    x_pred = x_dec(xh_sol)
+    x_pred = x_pred.at[0].set(x0)  # ref :150 — force the Init_Func initial row
+    i_pred = i_dec(ih_sol)
+    x_re = x_dec(xh)
+    i_re = i_dec(ih)
+    return tm(x_pred), tm(i_pred), x_re, i_re

@@ -1,17 +1,19 @@
-"""Pallas fused-scan kernels for the ODE no-encode rollout (forward +
-custom-VJP backward).
+"""Pallas fused-scan kernels for ODE rollouts (forward + custom-VJP
+backward), depth-generic.
 
 Slimmer sibling of :mod:`py_psnode_tpu.ops.fused_dae`: one dynamics net, one
 carry, and — because ODE events only substitute the exogenous input stream —
 no in-kernel event handling at all (the jumped stream is folded into the
-precomputed layer-1 projections). Semantics pinned to
-:func:`py_psnode_tpu.solvers.integrate_ode` (ref my_solvers.py:52-80).
+precomputed layer-1 projections). Supports any tail depth, so both the
+4-layer no-encode dynamics and the 2-layer direct-encode latent dynamics run
+through it. Semantics pinned to :func:`py_psnode_tpu.solvers.integrate_ode`
+(ref my_solvers.py:52-80).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,51 +22,56 @@ from jax.experimental.pallas import tpu as pltpu
 
 from py_psnode_tpu.ops.fused_dae import (
     _dot,
-    _elu,
+    mlp_tail_fwd,
+    mlp_tail_layers,
     pick_batch_block,
     split_de_layer1,
 )
+from py_psnode_tpu.ops.fused_dae_vjp import _tail_bwd, _tail_fwd_res
 
 _ONE_THIRD = 1.0 / 3.0
 
-W_ORDER = ("wx_de", "w2", "b2", "w3", "b3", "w4", "b4")
-
-
-def _delu(p):
-    return jnp.where(p > 0, 1.0, jnp.exp(jnp.minimum(p, 0.0)))
-
 
 def precompute_ode_streams(
-    params: Dict, all_initial: jnp.ndarray, z_step: jnp.ndarray, x_dim: int
+    params: Dict,
+    all_initial: jnp.ndarray,
+    z_step: jnp.ndarray,
+    x_dim: int,
+    de_path: Tuple[str, str] = ("de_func", "x_dot"),
 ):
     """Lift the init contribution and z projections out of the loop.
 
-    ``params``: flax subtree with ``de_func/x_dot/dense_*``;
-    ``all_initial``: ``[B, xd+zd]``; ``z_step``: ``[T-1, B, zd]``
-    (event-adjusted). Returns ``(s_de [T-1,B,h], weights)``.
+    Returns ``(s_de [T-1,B,h], weights)`` with ``weights = {wx_de, de_tail}``.
     """
-    de = params["de_func"]["x_dot"]
+    de = params[de_path[0]][de_path[1]]
     d_u = all_initial.shape[-1]
     W1, b1 = de["dense_0"]["kernel"], de["dense_0"]["bias"]
     Winit, Wu, b1 = split_de_layer1(W1, b1, d_u)
-    Wx = Wu[:x_dim]
-    Wz = Wu[x_dim:]
     c = all_initial @ Winit + b1
-    s_de = c[None] + z_step @ Wz
-    weights = dict(
-        wx_de=Wx,
-        w2=de["dense_1"]["kernel"], b2=de["dense_1"]["bias"],
-        w3=de["dense_2"]["kernel"], b3=de["dense_2"]["bias"],
-        w4=de["dense_3"]["kernel"], b4=de["dense_3"]["bias"],
+    s_de = c[None] + z_step @ Wu[x_dim:]
+    return s_de, dict(wx_de=Wu[:x_dim], de_tail=mlp_tail_layers(de))
+
+
+def _flatten(weights):
+    flat = [weights["wx_de"]]
+    for W, b in weights["de_tail"]:
+        flat += [W, b]
+    return flat, len(weights["de_tail"])
+
+
+def _unflatten(flat, n_tail):
+    it = iter(flat[1:])
+    return dict(
+        wx_de=flat[0], de_tail=[(next(it), next(it)) for _ in range(n_tail)]
     )
-    return s_de, weights
 
 
-def _fwd_kernel(
-    s_de_ref, dt_ref, x0_ref,
-    wx_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
-    xsol_ref, x_c, *, solver: str,
-):
+def _fwd_kernel(*refs, solver: str, n_tail: int):
+    s_de_ref, dt_ref, x0_ref = refs[:3]
+    w = refs[3 : 3 + 1 + 2 * n_tail]
+    wx_ref, tail = w[0], w[1:]
+    xsol_ref, x_c = refs[3 + 1 + 2 * n_tail :]
+
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -74,10 +81,7 @@ def _fwd_kernel(
     x0 = x_c[:]
 
     def f(x):
-        h1 = _elu(s_de_ref[0] + _dot(x, wx_ref[:]))
-        h2 = _elu(_dot(h1, w2_ref[:]) + b2_ref[:])
-        h3 = _elu(_dot(h2, w3_ref[:]) + b3_ref[:])
-        return _dot(h3, w4_ref[:]) + b4_ref[:]
+        return mlp_tail_fwd(s_de_ref[0] + _dot(x, wx_ref[:]), tail)
 
     dt = dt_ref[0]
     if solver == "euler":
@@ -94,13 +98,17 @@ def _fwd_kernel(
     xsol_ref[0] = x1
 
 
-def _bwd_kernel(
-    s_de_ref, dt_ref, xt_ref, dX_ref,
-    wx_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, b4_ref,
-    gs_de_ref, d_wx_ref, d_w2_ref, d_b2_ref, d_w3_ref, d_b3_ref,
-    d_w4_ref, d_b4_ref, g_x0_ref,
-    gx_c, *, solver: str,
-):
+def _bwd_kernel(*refs, solver: str, n_tail: int):
+    s_de_ref, dt_ref, xt_ref, dX_ref = refs[:4]
+    w = refs[4 : 4 + 1 + 2 * n_tail]
+    wx_ref, tail = w[0], w[1:]
+    outs = refs[4 + 1 + 2 * n_tail :]
+    gs_de_ref = outs[0]
+    gw = outs[1 : 2 + 2 * n_tail]
+    d_wx_ref, d_tail = gw[0], gw[1:]
+    g_x0_ref = outs[2 + 2 * n_tail]
+    gx_c = outs[3 + 2 * n_tail]
+
     b = pl.program_id(0)
     s = pl.program_id(1)
     n = pl.num_programs(1)
@@ -111,8 +119,7 @@ def _bwd_kernel(
 
     @pl.when((s == 0) & (b == 0))
     def _():
-        for r in (d_wx_ref, d_w2_ref, d_b2_ref, d_w3_ref, d_b3_ref,
-                  d_w4_ref, d_b4_ref):
+        for r in gw:
             r[:] = jnp.zeros_like(r)
 
     x0 = xt_ref[0]
@@ -120,26 +127,12 @@ def _bwd_kernel(
     gX1 = dX_ref[0] + gx_c[:]
 
     def F_fwd(x):
-        p1 = s_de_ref[0] + _dot(x, wx_ref[:])
-        h1 = _elu(p1)
-        p2 = _dot(h1, w2_ref[:]) + b2_ref[:]
-        h2 = _elu(p2)
-        p3 = _dot(h2, w3_ref[:]) + b3_ref[:]
-        h3 = _elu(p3)
-        f = _dot(h3, w4_ref[:]) + b4_ref[:]
-        return f, (x, p1, h1, p2, h2, p3, h3)
+        out, res = _tail_fwd_res(s_de_ref[0] + _dot(x, wx_ref[:]), tail)
+        return out, (x, res)
 
-    def F_bwd(res, gf):
-        x, p1, h1, p2, h2, p3, h3 = res
-        d_w4_ref[:] += _dot(h3.T, gf)
-        d_b4_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
-        gp3 = _dot(gf, w4_ref[:].T) * _delu(p3)
-        d_w3_ref[:] += _dot(h2.T, gp3)
-        d_b3_ref[:] += jnp.sum(gp3, axis=0, keepdims=True)
-        gp2 = _dot(gp3, w3_ref[:].T) * _delu(p2)
-        d_w2_ref[:] += _dot(h1.T, gp2)
-        d_b2_ref[:] += jnp.sum(gp2, axis=0, keepdims=True)
-        gp1 = _dot(gp2, w2_ref[:].T) * _delu(p1)
+    def F_bwd(xres, gf):
+        x, res = xres
+        gp1 = _tail_bwd(res, gf, tail, d_tail)
         d_wx_ref[:] += _dot(x.T, gp1)
         return _dot(gp1, wx_ref[:].T), gp1
 
@@ -195,7 +188,7 @@ def _bwd_kernel(
         g_x0_ref[:] = gx_c[:]
 
 
-def _specs(Tm1, B, h, xd, weights, reverse):
+def _specs(Tm1, B, reverse):
     bB = pick_batch_block(B)
     nB = B // bB
     if reverse:
@@ -218,17 +211,17 @@ def _specs(Tm1, B, h, xd, weights, reverse):
 def _forward(s_de, weights, x0, dt, solver, interpret):
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    bB, nB, step, bspec, full = _specs(Tm1, B, h, xd, weights, reverse=False)
+    bB, nB, step, bspec, full = _specs(Tm1, B, reverse=False)
+    wflat, n_tail = _flatten(weights)
     xs = pl.pallas_call(
-        functools.partial(_fwd_kernel, solver=solver),
+        functools.partial(_fwd_kernel, solver=solver, n_tail=n_tail),
         grid=(nB, Tm1),
-        in_specs=[step(h), step(1), bspec(xd)]
-        + [full(weights[k].shape) for k in W_ORDER],
+        in_specs=[step(h), step(1), bspec(xd)] + [full(wk.shape) for wk in wflat],
         out_specs=step(xd),
         out_shape=jax.ShapeDtypeStruct((Tm1, B, xd), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bB, xd), jnp.float32)],
         interpret=interpret,
-    )(s_de, dt, x0, *[weights[k] for k in W_ORDER])
+    )(s_de, dt, x0, *wflat)
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -252,31 +245,33 @@ def _bwd(solver, interpret, residuals, g_sol):
     s_de, weights, x0, dt, sol = residuals
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    bB, nB, step, bspec, full = _specs(Tm1, B, h, xd, weights, reverse=True)
-    wshapes = {k: weights[k].shape for k in W_ORDER}
-    gshape = lambda k: wshapes[k] if len(wshapes[k]) == 2 else (1, wshapes[k][0])
+    bB, nB, step, bspec, full = _specs(Tm1, B, reverse=True)
+    wflat, n_tail = _flatten(weights)
+    gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, solver=solver),
+        functools.partial(_bwd_kernel, solver=solver, n_tail=n_tail),
         grid=(nB, Tm1),
         in_specs=[step(h), step(1), step(xd), step(xd)]
-        + [full(wshapes[k]) for k in W_ORDER],
+        + [full(wk.shape) for wk in wflat],
         out_specs=(
             step(h),
-            *[full(gshape(k)) for k in W_ORDER],
+            *[full(gshape(wk)) for wk in wflat],
             bspec(xd),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),
-            *[jax.ShapeDtypeStruct(gshape(k), jnp.float32) for k in W_ORDER],
+            *[jax.ShapeDtypeStruct(gshape(wk), jnp.float32) for wk in wflat],
             jax.ShapeDtypeStruct((B, xd), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((bB, xd), jnp.float32)],
         interpret=interpret,
-    )(s_de, dt, sol[:-1], g_sol[1:], *[weights[k] for k in W_ORDER])
+    )(s_de, dt, sol[:-1], g_sol[1:], *wflat)
     gs_de = outs[0]
-    gw = {}
-    for k, arr in zip(W_ORDER, outs[1 : 1 + len(W_ORDER)]):
-        gw[k] = arr if len(wshapes[k]) == 2 else arr[0]
+    gw_flat = [
+        arr if wk.ndim == 2 else arr[0]
+        for wk, arr in zip(wflat, outs[1 : 1 + len(wflat)])
+    ]
+    gw = _unflatten(gw_flat, n_tail)
     g_x0 = outs[-1] + g_sol[0]
     return gs_de, gw, g_x0, jnp.zeros_like(dt)
 
@@ -310,3 +305,43 @@ def fused_ode_apply(
     dt = tT[1:] - tT[:-1]
     sol = fused_ode_rollout_diff(s_de, weights, xT[0], dt, solver, interpret)
     return tm(sol)
+
+
+def fused_ode_encode_apply(
+    params: Dict,
+    batch: Dict,
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused forward for the ODE direct-encode variant
+    (ref neural_00_ODE_02_direct_encode.py:60-89): codecs run in XLA, the
+    latent 2-layer dynamics rolls out through the fused kernel, events jump
+    in latent space. Returns ``(x_pred, x_re)`` batch-major."""
+    from py_psnode_tpu.models.funcs import Codec
+    from py_psnode_tpu.solvers import event_match, jumped_stream
+
+    h = hidden_dim
+    p = params["params"]
+    tm = lambda a: jnp.swapaxes(a, 0, 1)
+    # codecs are two-layer; the decoder's final kernel gives the raw width
+    x_dim = p["x_decoder"]["net"]["dense_1"]["kernel"].shape[-1]
+    x_enc = lambda a: Codec((h, h)).apply({"params": p["x_encoder"]}, a)
+    x_dec = lambda a: Codec((h, x_dim)).apply({"params": p["x_decoder"]}, a)
+    z_enc = lambda a: Codec((h, h)).apply({"params": p["z_encoder"]}, a)
+
+    xh = x_enc(batch["x"])
+    zh = z_enc(batch["z"])
+    zh_jump = (
+        z_enc(batch["z_jump"]) if batch.get("z_jump") is not None else None
+    )
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    zh_used = tm(jumped_stream(zh, zh_jump, is_event, e_idx))[:-1]
+    tT, xhT, zhT = tm(batch["t"]).astype(jnp.float32), tm(xh), tm(zh)
+    all_initial = jnp.concatenate([xhT[0], zhT[0]], axis=-1)
+    s_de, weights = precompute_ode_streams(p, all_initial, zh_used, h)
+    dt = tT[1:] - tT[:-1]
+    xh_sol = fused_ode_rollout_diff(s_de, weights, xhT[0], dt, solver, interpret)
+    x_pred = x_dec(tm(xh_sol))
+    x_re = x_dec(xh)
+    return x_pred, x_re

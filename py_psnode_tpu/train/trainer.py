@@ -161,6 +161,21 @@ class Trainer:
                 params, batch, x_dim=model.x_dim, solver=model.solver,
                 interpret=interpret,
             )
+        if self.cfg.fused and variant.name == "ode_encode":
+            from py_psnode_tpu.ops.fused_ode import fused_ode_encode_apply
+
+            return lambda params, batch: fused_ode_encode_apply(
+                params, batch, model.hidden_dim, solver=model.solver,
+                interpret=interpret,
+            )
+        if self.cfg.fused and variant.name == "dae_encode":
+            from py_psnode_tpu.ops import fused_dae_encode_apply
+
+            dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+            return lambda params, batch: fused_dae_encode_apply(
+                params, batch, dims4, model.hidden_dim, solver=model.solver,
+                interpret=interpret,
+            )
         return lambda params, batch: model.apply(
             params, *[batch[k] for k in variant.batch_args]
         )
