@@ -63,8 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Learning rate. Default 5e-3.")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed.")
     parser.add_argument("--fused", action="store_true",
-                        help="Route the DAE no-encode forward through the "
-                             "fused Pallas kernels (~5x faster on TPU).")
+                        help="Route the forward through the fused Pallas "
+                             "kernels (~4-5x faster on TPU).")
+    parser.add_argument("--larger_than", type=str, default="variant",
+                        help='contain_larger_than/show_larger_than filter: a '
+                             'float, "none", or "variant" (per-variant '
+                             'reference constant: 3.29 / none / pi / pi). '
+                             'Default "variant".')
     return parser
 
 
@@ -79,6 +84,20 @@ def select_backend(device: str):
     else:
         raise SystemExit(
             f'Argument "--device" is illegal. Expected "cpu" or "tpu" but {device}'
+        )
+
+
+def _parse_larger_than(value: str):
+    v = value.strip().lower()
+    if v == "variant":
+        return "variant"
+    if v in ("none", "off"):
+        return None
+    try:
+        return float(value)
+    except ValueError:
+        raise SystemExit(
+            f'--larger_than expects a float, "none", or "variant"; got {value!r}'
         )
 
 
@@ -101,6 +120,7 @@ def main(variant: str, argv=None):
         n_devices=args.devices or None,
         seed=args.seed,
         fused=args.fused,
+        larger_than=_parse_larger_than(args.larger_than),
         progress=True,
     )
     trainer = Trainer(cfg)
