@@ -8,3 +8,8 @@ from py_psnode_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from py_psnode_tpu.parallel.distributed import (  # noqa: F401
+    host_batch_to_global,
+    initialize,
+    make_pod_mesh,
+)

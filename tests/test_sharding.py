@@ -92,3 +92,13 @@ def test_padded_rows_are_noops(avr_data):
     np.testing.assert_allclose(float(l5), float(l8), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g5), jax.tree_util.tree_leaves(g8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
+
+
+def test_pod_mesh_single_host():
+    from py_psnode_tpu.parallel import initialize, make_pod_mesh
+
+    assert initialize() is False  # single-process no-op
+    mesh = make_pod_mesh()
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape[0] == 1
+    assert mesh.devices.size == len(jax.devices())
