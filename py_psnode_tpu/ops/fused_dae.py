@@ -207,6 +207,9 @@ def _kernel(
     dt = dt_ref[0]
     if solver == "euler":
         x1 = x0 + dt * f(x0)
+    elif solver == "midpoint":
+        f0 = f(x0)
+        x1 = x0 + dt * f(x0 + f0 * (0.5 * dt))
     elif solver == "rk4":
         k1 = f(x0)
         k2 = f(x0 + dt * k1 * _ONE_THIRD)

@@ -177,6 +177,17 @@ def _bwd_kernel(
         g_x, g_i_in, gp1 = F_bwd(res, dt * gX1)
         g_x0 = gX1 + g_x
         gs_de = gp1
+    elif solver == "midpoint":
+        # x1 = x0 + dt * F(x_mid), x_mid = x0 + (dt/2) F(x0)
+        f0, res0 = F_fwd(x0)
+        x_mid = x0 + f0 * (0.5 * dt)
+        _, res_m = F_fwd(x_mid)
+        g_xmid, gi_m, gp_m = F_bwd(res_m, dt * gX1)
+        g_f0 = (0.5 * dt) * g_xmid
+        g_x00, gi_0, gp_0 = F_bwd(res0, g_f0)
+        g_x0 = gX1 + g_xmid + g_x00
+        g_i_in = gi_m + gi_0
+        gs_de = gp_m + gp_0
     elif solver == "rk4":
         k1, res1 = F_fwd(x0)
         a2 = x0 + dt * k1 * _ONE_THIRD

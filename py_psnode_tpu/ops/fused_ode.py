@@ -86,6 +86,9 @@ def _fwd_kernel(*refs, solver: str, n_tail: int):
     dt = dt_ref[0]
     if solver == "euler":
         x1 = x0 + dt * f(x0)
+    elif solver == "midpoint":
+        f0 = f(x0)
+        x1 = x0 + dt * f(x0 + f0 * (0.5 * dt))
     elif solver == "rk4":
         k1 = f(x0)
         k2 = f(x0 + dt * k1 * _ONE_THIRD)
@@ -141,6 +144,14 @@ def _bwd_kernel(*refs, solver: str, n_tail: int):
         g_x, gp1 = F_bwd(res, dt * gX1)
         g_x0 = gX1 + g_x
         gs_de = gp1
+    elif solver == "midpoint":
+        f0, res0 = F_fwd(x0)
+        x_mid = x0 + f0 * (0.5 * dt)
+        _, res_m = F_fwd(x_mid)
+        g_xmid, gp_m = F_bwd(res_m, dt * gX1)
+        g_x00, gp_0 = F_bwd(res0, (0.5 * dt) * g_xmid)
+        g_x0 = gX1 + g_xmid + g_x00
+        gs_de = gp_m + gp_0
     elif solver == "rk4":
         k1, res1 = F_fwd(x0)
         a2 = x0 + dt * k1 * _ONE_THIRD

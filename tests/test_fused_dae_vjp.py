@@ -80,3 +80,29 @@ def test_grad_parity(rng, solver, with_events):
             np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-4,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_grad_parity_midpoint(rng):
+    model, params, batch, args, dims = _setup(
+        rng, B=3, T=8, h=8, with_events=True, solver="midpoint"
+    )
+    T, B = batch["t"].shape[1], batch["t"].shape[0]
+    xd, zd, vd, idim, h = dims
+    targets = (
+        jnp.asarray(rng.normal(size=(T, B, xd)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(T, B, idim)).astype(np.float32)),
+    )
+    l_f, g_f = jax.value_and_grad(
+        lambda p: _fused_loss(model, p, batch, dims, "midpoint", targets)
+    )(params)
+    l_x, g_x = jax.value_and_grad(
+        lambda p: _xla_loss(model, p, args, targets)
+    )(params)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    for (path, gx), gf in zip(
+        jax.tree_util.tree_leaves_with_path(g_x), jax.tree_util.tree_leaves(g_f)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )

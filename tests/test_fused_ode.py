@@ -78,3 +78,17 @@ def test_multi_batch_block(rng):
     finally:
         fo.pick_batch_block = orig
     np.testing.assert_allclose(np.array(got), np.array(ref), rtol=2e-4, atol=1e-5)
+
+
+def test_midpoint_parity(rng):
+    model, params, batch, args = _setup(rng, solver="midpoint")
+    ref = model.apply(params, *args)
+    got = fused_ode_apply(params, batch, x_dim=2, solver="midpoint", interpret=True)
+    np.testing.assert_allclose(np.array(got), np.array(ref), rtol=2e-4, atol=1e-5)
+    target = jnp.asarray(rng.normal(size=np.array(batch["x"]).shape).astype(np.float32))
+    gx = jax.grad(lambda p: jnp.sum((model.apply(p, *args) - target) ** 2))(params)
+    gf = jax.grad(lambda p: jnp.sum(
+        (fused_ode_apply(p, batch, x_dim=2, solver="midpoint", interpret=True) - target) ** 2
+    ))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
