@@ -82,16 +82,25 @@ def export_stablehlo(path, fn: Callable, example_args: Tuple):
         return False
 
 
-def export_submodule(path: pathlib.Path, name: str, module, sub_params, example_args):
+def export_submodule(
+    path: pathlib.Path, name: str, module, sub_params, example_args,
+    refresh_stablehlo: bool = False,
+):
     """Write the three artifacts for one flax submodule.
 
     ``module`` is a standalone flax module whose ``apply({'params': p}, *a)``
     reproduces the trained submodule; ``sub_params`` its parameter subtree.
+    The StableHLO artifact is shape-stable across training (params are
+    function inputs), so per-epoch saves skip re-serializing it unless
+    ``refresh_stablehlo`` or the file is missing; the weight snapshots are
+    always rewritten.
     """
     path = pathlib.Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    fn = lambda p, *a: module.apply({"params": p}, *a)
-    export_stablehlo(path / f"{name}.stablehlo", fn, (sub_params, *example_args))
+    hlo_path = path / f"{name}.stablehlo"
+    if refresh_stablehlo or not hlo_path.exists():
+        fn = lambda p, *a: module.apply({"params": p}, *a)
+        export_stablehlo(hlo_path, fn, (sub_params, *example_args))
     flat = flatten_params(sub_params)
     np.savez(path / f"{name}.weights.npz", **flat)
     write_weights_bin(path / f"{name}.weights.bin", flat)

@@ -24,20 +24,22 @@ LINE_WIDTH = 1
 MARK_SIZE = 2
 
 
-def _batched_forward(apply_fn, dataset, batch_size, out_specs):
-    """Run the jitted forward over the dataset with static shapes (final
-    partial batch padded). Returns dict of stacked prediction arrays."""
-    N = len(dataset)
-    outs = {k: np.zeros((N,) + s, np.float32) for k, s in out_specs.items()}
-    head = 0
-    for batch in dataset.batches(batch_size):
-        n_real = batch["t"].shape[0]
-        padded = pad_batch(batch, batch_size)
-        preds = apply_fn(padded)
-        for k, arr in preds.items():
-            outs[k][head : head + n_real] = np.asarray(arr)[:n_real]
-        head += n_real
-    return outs
+def _run_eval(eval_fn, N, batch_size):
+    """Run the index-based eval function over the whole set with static
+    shapes (the final partial batch repeats its last index; repeated rows are
+    dropped on the host side). ``eval_fn(idx [b]) -> dict of device arrays``
+    — losses reduce on device, so only small arrays (plus predictions when
+    drawing) cross back to the host."""
+    outs = {}
+    for start in range(0, N, batch_size):
+        idx = np.arange(start, min(start + batch_size, N))
+        n_real = len(idx)
+        if n_real < batch_size:
+            idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - n_real)])
+        res = eval_fn(idx)
+        for k, arr in res.items():
+            outs.setdefault(k, []).append(np.asarray(arr)[:n_real])
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
 def _per_sample_loss(pred, true, mask):
@@ -89,7 +91,7 @@ def _draw_sample_curves(
 
 
 def evaluate_ode(
-    apply_fn: Callable,
+    apply_fn: Callable,  # eval_fn(idx) -> {"x_loss_ps", ["x_pred"]}
     dataset,
     batch_size: int,
     logger: Logger,
@@ -99,9 +101,9 @@ def evaluate_ode(
     pic_num: int = PIC_NUM,
 ):
     N, T, xd = dataset.x.shape
-    preds = _batched_forward(apply_fn, dataset, batch_size, {"x": (T, xd)})
-    x_pred = preds["x"]
-    x_loss_per_sample = _per_sample_loss(x_pred, dataset.x, dataset.mask)
+    res = _run_eval(apply_fn, N, batch_size)
+    x_loss_per_sample = res["x_loss_ps"]
+    x_pred = res.get("x_pred")
     total_mask = float(dataset.mask.sum())
     for d in range(xd):
         logger.testing_log(
@@ -147,12 +149,9 @@ def evaluate_dae(
 ):
     N, T, xd = dataset.x.shape
     idim = dataset.i.shape[-1]
-    preds = _batched_forward(
-        apply_fn, dataset, batch_size, {"x": (T, xd), "i": (T, idim)}
-    )
-    x_pred, i_pred = preds["x"], preds["i"]
-    x_ps = _per_sample_loss(x_pred, dataset.x, dataset.mask)
-    i_ps = _per_sample_loss(i_pred, dataset.i, dataset.mask)
+    res = _run_eval(apply_fn, N, batch_size)
+    x_ps, i_ps = res["x_loss_ps"], res["i_loss_ps"]
+    x_pred, i_pred = res.get("x_pred"), res.get("i_pred")
     total_mask = float(dataset.mask.sum())
     for d in range(xd):
         logger.testing_log(desc + f": x_loss_dim_{d}: {x_ps[:, d].sum() / total_mask:14.10f}.")

@@ -264,24 +264,51 @@ class Trainer:
             )
         return jax.jit(step, donate_argnums=(0, 1))
 
-    def _make_eval_apply(self, model):
+    def _make_eval_apply(self, model, test_ds):
+        """Index-based eval function: the test set stays device-resident
+        (when it fits) and per-sample losses reduce ON DEVICE — only small
+        loss arrays (plus predictions when drawing) return to the host.
+        Per-epoch eval H2D traffic through the device tunnel previously
+        dominated long runs."""
         variant = self.variant
         forward = self._forward_fn(model)
+        cfg = self.cfg
+        keys = variant.batch_args + ("mask",)
+        n_bytes = sum(getattr(test_ds, k).nbytes for k in keys)
+        if n_bytes <= cfg.device_data_max_bytes:
+            ddata = {k: jnp.asarray(getattr(test_ds, k)) for k in keys}
+            get_batch = lambda idx: {k: v[idx] for k, v in ddata.items()}
+        else:  # fall back to host slicing + per-batch transfer
+            host = {k: getattr(test_ds, k) for k in keys}
+            get_batch = lambda idx: {k: jnp.asarray(v[idx]) for k, v in host.items()}
 
-        @jax.jit
-        def fwd(params, batch):
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=2)
+        def fwd(params, idx, want_preds):
+            batch = get_batch(idx)
             out = forward(params, batch)
             if variant.kind == "dae":
-                return {"x": out[0], "i": out[1]}
-            if isinstance(out, tuple):
-                return {"x": out[0]}
-            return {"x": out}
+                x_pred, i_pred = out[0], out[1]
+            else:
+                x_pred = out[0] if isinstance(out, tuple) else out
+                i_pred = None
+            mask = batch["mask"]
+            res = {
+                "x_loss_ps": jnp.sum((x_pred - batch["x"]) ** 2 * mask, axis=1)
+            }
+            if i_pred is not None:
+                res["i_loss_ps"] = jnp.sum(
+                    (i_pred - batch["i"]) ** 2 * mask, axis=1
+                )
+            if want_preds:
+                res["x_pred"] = x_pred
+                if i_pred is not None:
+                    res["i_pred"] = i_pred
+            return res
 
-        def apply_fn_factory(params):
-            return lambda batch: fwd(
-                params,
-                {k: jnp.asarray(batch[k]) for k in variant.batch_args},
-            )
+        def apply_fn_factory(params, want_preds=False):
+            return lambda idx: fwd(params, jnp.asarray(idx), want_preds)
 
         return apply_fn_factory
 
@@ -349,7 +376,7 @@ class Trainer:
             else None
         )
         train_step = self._make_train_step(model, tx, device_data=device_data)
-        apply_fn_factory = self._make_eval_apply(model)
+        apply_fn_factory = self._make_eval_apply(model, test_ds)
         pic_path = model_path / "pics" if cfg.drawing else None
         eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
 
@@ -362,7 +389,8 @@ class Trainer:
         logger.testing_log("Initial evaluate on testing set.")
         eval_error_list.append(
             eval_fn(
-                apply_fn_factory(params), test_ds, eval_batch, logger,
+                apply_fn_factory(params, want_preds=pic_path is not None),
+                test_ds, eval_batch, logger,
                 desc="Testing_Epoch_0", pic_path=pic_path,
                 show_larger_than=self.larger_than,
             )
@@ -433,7 +461,8 @@ class Trainer:
             logger.testing_log(f"Training Epoch {epoch}, evaluate on testing set.")
             eval_error_list.append(
                 eval_fn(
-                    apply_fn_factory(params), test_ds, eval_batch, logger,
+                    apply_fn_factory(params, want_preds=pic_path is not None),
+                    test_ds, eval_batch, logger,
                     desc=f"Testing_Epoch_{epoch}", pic_path=pic_path,
                     show_larger_than=self.larger_than,
                 )
@@ -486,7 +515,10 @@ class Trainer:
         logger.testing_log("=" * 86)
         eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
         result = eval_fn(
-            self._make_eval_apply(model)(params), test_ds, eval_batch, logger,
+            self._make_eval_apply(model, test_ds)(
+                params, want_preds=pic_path is not None
+            ),
+            test_ds, eval_batch, logger,
             desc=f"Model {model_path.name} Evaluation", pic_path=pic_path,
             show_larger_than=self.larger_than,
         )
