@@ -90,6 +90,9 @@ def bench_tpu_train_step(
 
 def main():
     sys.path.insert(0, ".")
+    from py_psnode_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     from benchmarks.torch_baseline import get_pin
 
     pin = get_pin(allow_measure=True)

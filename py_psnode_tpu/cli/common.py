@@ -73,6 +73,19 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def enable_compile_cache(path="~/.cache/py_psnode_tpu/jax"):
+    """Persistent XLA compilation cache — first compiles of the T~1000 scans
+    take minutes through this machine's device tunnel; cached recompiles are
+    near-instant across runs."""
+    import os
+
+    d = os.path.expanduser(path)
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def select_backend(device: str):
     """Map the reference's cpu/gpu flag onto JAX platforms; 'gpu' means the
     accelerator (TPU here)."""
@@ -104,6 +117,7 @@ def _parse_larger_than(value: str):
 def main(variant: str, argv=None):
     args = build_parser().parse_args(argv)
     select_backend(args.device)
+    enable_compile_cache()
     cfg = TrainConfig(
         variant=variant,
         train_data=args.train_data,
