@@ -39,9 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 _ONE_THIRD = 1.0 / 3.0
 
 
-def pick_batch_block(B: int, block_b: int = 128) -> int:
-    """Largest divisor of B that is <= block_b (VMEM-friendly batch tile)."""
-    bB = min(block_b, B)
+def pick_batch_block(B: int, block_b: int = 128, hidden: int = 128) -> int:
+    """Largest divisor of B that is <= block_b, scaled down for wide hidden
+    layers so per-block VMEM (streams + activations ~ O(bB*h)) stays bounded
+    around the h=128 reference point."""
+    cap = max(8, block_b * 128 // max(hidden, 128))
+    bB = min(cap, B)
     while B % bB:
         bB -= 1
     return bB
@@ -258,7 +261,7 @@ def fused_dae_rollout(
     ev_f = ev.astype(jnp.float32)[..., None]  # [T-1, B, 1]
     any_ev = jnp.any(ev, axis=-1).astype(jnp.int32)  # [T-1] scalar-prefetch
 
-    bB = pick_batch_block(B, block_b)
+    bB = pick_batch_block(B, block_b, h)
     nB = B // bB
 
     step_spec = lambda d: pl.BlockSpec(

@@ -270,7 +270,7 @@ def _run_backward(
     idim = i0.shape[-1]
     ev_f = ev.astype(jnp.float32)[..., None]
     any_ev = jnp.any(ev, axis=-1).astype(jnp.int32)
-    bB = pick_batch_block(B, block_b)
+    bB = pick_batch_block(B, block_b, h)
     nB = B // bB
 
     rev = lambda d: pl.BlockSpec(

@@ -199,8 +199,8 @@ def _bwd_kernel(*refs, solver: str, n_tail: int):
         g_x0_ref[:] = gx_c[:]
 
 
-def _specs(Tm1, B, reverse):
-    bB = pick_batch_block(B)
+def _specs(Tm1, B, h, reverse):
+    bB = pick_batch_block(B, hidden=h)
     nB = B // bB
     if reverse:
         step = lambda d: pl.BlockSpec(
@@ -222,7 +222,7 @@ def _specs(Tm1, B, reverse):
 def _forward(s_de, weights, x0, dt, solver, interpret):
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    bB, nB, step, bspec, full = _specs(Tm1, B, reverse=False)
+    bB, nB, step, bspec, full = _specs(Tm1, B, h, reverse=False)
     wflat, n_tail = _flatten(weights)
     xs = pl.pallas_call(
         functools.partial(_fwd_kernel, solver=solver, n_tail=n_tail),
@@ -256,7 +256,7 @@ def _bwd(solver, interpret, residuals, g_sol):
     s_de, weights, x0, dt, sol = residuals
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    bB, nB, step, bspec, full = _specs(Tm1, B, reverse=True)
+    bB, nB, step, bspec, full = _specs(Tm1, B, h, reverse=True)
     wflat, n_tail = _flatten(weights)
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
     outs = pl.pallas_call(

@@ -72,7 +72,7 @@ def test_multi_batch_block(rng):
     model, params, batch, args = _setup(rng, B=8, solver="rk4")
     ref = model.apply(params, *args)
     orig = fo.pick_batch_block
-    fo.pick_batch_block = lambda B, bb=128: 4  # force nB=2
+    fo.pick_batch_block = lambda B, *a, **kw: 4  # force nB=2
     try:
         got = fused_ode_apply(params, batch, x_dim=2, solver="rk4", interpret=True)
     finally:
