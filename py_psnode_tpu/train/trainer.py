@@ -245,12 +245,24 @@ class Trainer:
 
         if device_data is not None:
             # device-resident dataset: gather the batch by index inside jit
-            # (idx/sample_w are the only per-step host→device transfers)
+            # (idx/sample_w are the only per-step host→device transfers).
+            # Under a mesh the dataset is replicated and the index vector is
+            # batch-sharded, so each device gathers its own batch shard
+            # locally.
             def step_idx(params, opt_state, idx, sample_w):
                 batch = {k: v[idx] for k, v in device_data.items()}
                 batch["sample_w"] = sample_w
                 return step(params, opt_state, batch)
 
+            if self.mesh is not None:
+                rep = replicated(self.mesh)
+                bsh = batch_sharding(self.mesh)
+                return jax.jit(
+                    step_idx,
+                    in_shardings=(rep, rep, bsh, bsh),
+                    out_shardings=(rep, rep, rep, rep),
+                    donate_argnums=(0, 1),
+                )
             return jax.jit(step_idx, donate_argnums=(0, 1))
 
         if self.mesh is not None:
@@ -369,16 +381,16 @@ class Trainer:
         # device-resident training data when it fits (single-device path)
         data_keys = variant.batch_args + ("mask",)
         n_bytes = sum(getattr(train_ds, k).nbytes for k in data_keys)
-        use_device_data = (
-            cfg.device_data
-            and self.mesh is None
-            and n_bytes <= cfg.device_data_max_bytes
-        )
-        device_data = (
-            {k: jnp.asarray(getattr(train_ds, k)) for k in data_keys}
-            if use_device_data
-            else None
-        )
+        use_device_data = cfg.device_data and n_bytes <= cfg.device_data_max_bytes
+        if use_device_data and self.mesh is not None:
+            rep = replicated(self.mesh)
+            device_data = {
+                k: jax.device_put(getattr(train_ds, k), rep) for k in data_keys
+            }
+        elif use_device_data:
+            device_data = {k: jnp.asarray(getattr(train_ds, k)) for k in data_keys}
+        else:
+            device_data = None
         train_step = self._make_train_step(model, tx, device_data=device_data)
         apply_fn_factory = self._make_eval_apply(model, test_ds)
         pic_path = model_path / "pics" if cfg.drawing else None
