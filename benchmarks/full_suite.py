@@ -113,6 +113,9 @@ def bench_config(name, variant_name, B, T, h, solver="rk4", fused=False, iters=3
 
 
 def main():
+    from py_psnode_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     quick = "--quick" in sys.argv
     only = [a for a in sys.argv[1:] if a.isdigit()]
     T = 251 if quick else 1001
