@@ -252,6 +252,10 @@ class Trainer:
             def step_idx(params, opt_state, idx, sample_w):
                 batch = {k: v[idx] for k, v in device_data.items()}
                 batch["sample_w"] = sample_w
+                # padded rows repeat the last real index; zero their gathered
+                # mask so masked loss terms match pad_batch (host path)
+                # semantics exactly when len(train_ds) % batch != 0
+                batch["mask"] = batch["mask"] * sample_w[:, None, None]
                 return step(params, opt_state, batch)
 
             if self.mesh is not None:

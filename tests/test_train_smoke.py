@@ -120,6 +120,29 @@ def test_drawing_produces_plots(avr_data, tmp_path):
     assert pics, "no evaluation plots were written"
 
 
+def test_device_data_partial_batch_matches_host_path(avr_data, tmp_path):
+    """len(train_ds) % batch != 0: the device-resident index-gather path must
+    zero the padded rows' masks exactly like pad_batch on the host path —
+    otherwise the repeated last sample is double-counted in the masked loss
+    (round-1 advisor finding, trainer.step_idx)."""
+    import jax
+
+    def run(device_data, tag):
+        cfg = _cfg(
+            "ode_no_encode", avr_data, tmp_path / tag,
+            num=12, batch=8, epoch=1, device_data=device_data,
+        )
+        params, _ = Trainer(cfg).train()
+        return jax.tree_util.tree_map(np.asarray, params)
+
+    p_dev = run(True, "dev")
+    p_host = run(False, "host")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_dev), jax.tree_util.tree_leaves(p_host)
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_multishoot_training(avr_data, tmp_path):
     """Multi-shooting training mode: loss decreases, gap penalty active."""
     import json
