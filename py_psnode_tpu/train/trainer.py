@@ -280,29 +280,48 @@ class Trainer:
             )
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _eval_batch_size(self, test_ds):
+        """Reference eval-batch rule (N/10); small sets run as one batch.
+        Under a mesh, round up to a multiple of the data-axis size so the
+        batch axis shards evenly (_run_eval pads trailing batches to a
+        static shape anyway)."""
+        n = len(test_ds)
+        b = n if n <= 512 else max(int(n / 10), 1)
+        if self.mesh is not None:
+            d = self.mesh.devices.shape[0]
+            b = -(-b // d) * d
+        return b
+
     def _make_eval_apply(self, model, test_ds):
         """Index-based eval function: the test set stays device-resident
         (when it fits) and per-sample losses reduce ON DEVICE — only small
         loss arrays (plus predictions when drawing) return to the host.
         Per-epoch eval H2D traffic through the device tunnel previously
-        dominated long runs."""
+        dominated long runs.
+
+        Under a mesh the eval set is replicated, the index vector is
+        batch-sharded, and the forward jits with the same shardings as the
+        train step — every device evaluates its own batch shard instead of
+        replicating the whole eval pass."""
         variant = self.variant
         forward = self._forward_fn(model)
         cfg = self.cfg
+        mesh = self.mesh
         keys = variant.batch_args + ("mask",)
         n_bytes = sum(getattr(test_ds, k).nbytes for k in keys)
-        if n_bytes <= cfg.device_data_max_bytes:
-            ddata = {k: jnp.asarray(getattr(test_ds, k)) for k in keys}
-            get_batch = lambda idx: {k: v[idx] for k, v in ddata.items()}
+        device_resident = n_bytes <= cfg.device_data_max_bytes
+        if device_resident:
+            if mesh is not None:
+                rep = replicated(mesh)
+                ddata = {
+                    k: jax.device_put(getattr(test_ds, k), rep) for k in keys
+                }
+            else:
+                ddata = {k: jnp.asarray(getattr(test_ds, k)) for k in keys}
         else:  # fall back to host slicing + per-batch transfer
             host = {k: getattr(test_ds, k) for k in keys}
-            get_batch = lambda idx: {k: jnp.asarray(v[idx]) for k, v in host.items()}
 
-        from functools import partial
-
-        @partial(jax.jit, static_argnums=2)
-        def fwd(params, idx, want_preds):
-            batch = get_batch(idx)
+        def compute(params, batch, want_preds):
             out = forward(params, batch)
             if variant.kind == "dae":
                 x_pred, i_pred = out[0], out[1]
@@ -323,8 +342,36 @@ class Trainer:
                     res["i_pred"] = i_pred
             return res
 
-        def apply_fn_factory(params, want_preds=False):
-            return lambda idx: fwd(params, jnp.asarray(idx), want_preds)
+        if device_resident:
+            def fwd_impl(params, idx, want_preds):
+                batch = {k: v[idx] for k, v in ddata.items()}
+                return compute(params, batch, want_preds)
+        else:
+            def fwd_impl(params, batch, want_preds):
+                return compute(params, batch, want_preds)
+
+        if mesh is not None:
+            rep, bsh = replicated(mesh), batch_sharding(mesh)
+            fwd = jax.jit(
+                fwd_impl, static_argnums=2,
+                in_shardings=(rep, bsh), out_shardings=bsh,
+            )
+            put = lambda a: jax.device_put(a, bsh)
+        else:
+            fwd = jax.jit(fwd_impl, static_argnums=2)
+            put = jnp.asarray
+
+        if device_resident:
+            def apply_fn_factory(params, want_preds=False):
+                return lambda idx: fwd(params, put(np.asarray(idx)), want_preds)
+        else:
+            # slice on the host OUTSIDE jit (numpy can't index by a tracer),
+            # transfer the batch, then run the jitted forward
+            def apply_fn_factory(params, want_preds=False):
+                def call(idx):
+                    batch = {k: put(v[idx]) for k, v in host.items()}
+                    return fwd(params, batch, want_preds)
+                return call
 
         return apply_fn_factory
 
@@ -345,11 +392,7 @@ class Trainer:
         cfg, variant = self.cfg, self.variant
         train_ds = self.load_train_dataset()
         test_ds = self.load_test_dataset()
-        # reference eval-batch rule (N/10); small sets run as one batch —
-        # identical results, one device dispatch instead of eleven
-        eval_batch = (
-            len(test_ds) if len(test_ds) <= 512 else max(int(len(test_ds) / 10), 1)
-        )
+        eval_batch = self._eval_batch_size(test_ds)
 
         model, params, dims = self.build_model(train_ds)
         steps_per_epoch = -(-len(train_ds) // cfg.batch)
@@ -527,7 +570,7 @@ class Trainer:
         """--testing mode (ref :406-433): load checkpoint file, evaluate."""
         cfg, variant = self.cfg, self.variant
         test_ds = self.load_test_dataset()
-        eval_batch = max(int(len(test_ds) / 10), 1)
+        eval_batch = self._eval_batch_size(test_ds)
         model, _, dims = self.build_model(test_ds)
         model_path = pathlib.Path(cfg.model)
         assert model_path.exists() and not model_path.is_dir(), (

@@ -37,7 +37,11 @@ def avr_data(tmp_path_factory):
     return write_avr_dataset(d, n_train=16, n_test=8, n_steps=21, seed=0)
 
 
-def test_sharded_training_matches_single_device(avr_data, tmp_path):
+@pytest.mark.parametrize("fused", [False, True], ids=["xla", "fused"])
+def test_sharded_training_matches_single_device(avr_data, tmp_path, fused):
+    """Mesh training == single-device training, for both the XLA forward and
+    the fused Pallas kernels (interpret mode on CPU) composed with the
+    sharded jit."""
     train_f, test_f = avr_data
 
     def run(n_devices, tag):
@@ -45,7 +49,7 @@ def test_sharded_training_matches_single_device(avr_data, tmp_path):
             variant="ode_no_encode",
             train_data=str(train_f),
             test_data=str(test_f),
-            model=str(tmp_path / tag),
+            model=str(tmp_path / f"{tag}_{fused}"),
             num=16,
             batch=8,
             hidden=8,
@@ -53,6 +57,7 @@ def test_sharded_training_matches_single_device(avr_data, tmp_path):
             step=21,
             n_devices=n_devices,
             echo_logs=False,
+            fused=fused,
         )
         params, path = Trainer(cfg).train()
         return jax.tree_util.tree_map(np.asarray, params)
@@ -61,8 +66,94 @@ def test_sharded_training_matches_single_device(avr_data, tmp_path):
     p8 = run(8, "mesh8")
     flat1 = jax.tree_util.tree_leaves(p1)
     flat8 = jax.tree_util.tree_leaves(p8)
+    # the fused (Pallas) path partitions reductions differently under the
+    # mesh; ~1e-8 grad diffs are amplified by Adam's 1/sqrt(v) over the
+    # epoch — strict one-step grad parity is asserted separately below
+    tol = dict(rtol=1e-5, atol=1e-7) if not fused else dict(rtol=0, atol=5e-3)
     for a, b in zip(flat1, flat8):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(a, b, **tol)
+
+
+def test_fused_grad_parity_under_mesh(avr_data):
+    """Strict check: fused-kernel loss/grads under the 8-device mesh match
+    the single-device fused computation to float32 reduction noise."""
+    import jax.numpy as jnp
+    from py_psnode_tpu.data import OdeSamples
+    from py_psnode_tpu.models import ODEModel
+    from py_psnode_tpu.ops.fused_ode import fused_ode_apply
+    from py_psnode_tpu.parallel import batch_sharding, replicated
+    from py_psnode_tpu.train.losses import ode_no_encode_loss
+
+    train_f, _ = avr_data
+    ds = OdeSamples.load(train_f)
+    keys = ("t", "x", "z", "event_t", "z_jump", "mask")
+    batch = {k: np.asarray(getattr(ds, k)[:8]) for k in keys}
+    model = ODEModel(x_dim=2, z_dim=2, hidden_dim=8)
+    args = tuple(jnp.asarray(batch[k]) for k in ("t", "x", "z", "event_t", "z_jump"))
+    params = model.init(jax.random.PRNGKey(0), *args)
+
+    def loss_of(p, b):
+        out = fused_ode_apply(p, b, x_dim=2, solver="euler", interpret=True)
+        return ode_no_encode_loss(out, b)[0]
+
+    vg = jax.value_and_grad(loss_of)
+    l1, g1 = jax.jit(vg)(params, batch)
+
+    mesh = make_mesh(8)
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    jvg = jax.jit(vg, in_shardings=(rep, bsh), out_shardings=(rep, rep))
+    sb = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    l8, g8 = jvg(jax.device_put(params, rep), sb)
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_eval_matches_single_device(tmp_path):
+    """Per-epoch eval under the mesh (replicated eval set, batch-sharded
+    index gather) returns the same losses as the single-device eval; the
+    eval batch rounds up to a multiple of the data-axis size so a
+    non-divisible test set shards cleanly via _run_eval's index padding."""
+    from py_psnode_tpu.train import evaluate as E
+    from py_psnode_tpu.utils.logging import Logger
+
+    train_f, test_f = write_avr_dataset(
+        tmp_path / "d", n_train=16, n_test=12, n_steps=21, seed=1
+    )
+
+    def make(n_devices, tag):
+        cfg = TrainConfig(
+            variant="ode_no_encode",
+            train_data=str(train_f),
+            test_data=str(test_f),
+            model=str(tmp_path / tag),
+            num=16, batch=8, hidden=8, epoch=1, step=21,
+            n_devices=n_devices, echo_logs=False,
+        )
+        tr = Trainer(cfg)
+        ds = tr.load_test_dataset()
+        model, params, _ = tr.build_model(ds)
+        return tr, ds, model, params
+
+    tr1, ds, model, params = make(None, "ev1")
+    tr8, ds8, model8, params8 = make(8, "ev8")
+    b1, b8 = tr1._eval_batch_size(ds), tr8._eval_batch_size(ds8)
+    assert b1 == 12 and b8 == 16  # 12 → next multiple of 8
+
+    def run_eval(tr, ds, model, params, batch, tag):
+        (tmp_path / tag).mkdir(exist_ok=True)
+        logger = Logger(tmp_path / tag, "training.log", "testing.log", echo=False)
+        apply_fn = tr._make_eval_apply(model, ds)(params)
+        res = E.evaluate_ode(apply_fn, ds, batch, logger, desc="t")
+        logger.close()
+        return res
+
+    r1 = run_eval(tr1, ds, model, params, b1, "ev1")
+    r8 = run_eval(tr8, ds8, model8, params8, b8, "ev8")
+    np.testing.assert_allclose(float(r8[0]), float(r1[0]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(r8[1], np.float64), np.asarray(r1[1], np.float64), rtol=1e-5
+    )
 
 
 def test_padded_rows_are_noops(avr_data):
