@@ -38,6 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ONE_THIRD = 1.0 / 3.0
 
+_SOLVER_ALIASES = {"rk4_38": "rk4"}  # the XLA registry's RK4 IS the 3/8 rule
+_FUSED_SOLVERS = ("euler", "midpoint", "rk4")
+
+
+def normalize_solver(name) -> str:
+    """Map registry solver names onto the fused kernels' dispatch set
+    (``rk4_38`` → ``rk4``); reject unknown names with the valid choices."""
+    s = _SOLVER_ALIASES.get(str(name).lower(), str(name).lower())
+    if s not in _FUSED_SOLVERS:
+        raise ValueError(
+            f"fused kernels support solvers {sorted(_FUSED_SOLVERS + tuple(_SOLVER_ALIASES))}, "
+            f"got {name!r}"
+        )
+    return s
+
 
 def pick_batch_block(B: int, block_b: int = 128, hidden: int = 128) -> int:
     """Largest divisor of B that is <= block_b, scaled down for wide hidden

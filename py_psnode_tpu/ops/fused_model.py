@@ -14,7 +14,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 
 from py_psnode_tpu.models.funcs import AEFunc, InitFunc
-from py_psnode_tpu.ops.fused_dae import precompute_streams
+from py_psnode_tpu.ops.fused_dae import normalize_solver, precompute_streams
 from py_psnode_tpu.ops.fused_dae_vjp import fused_dae_rollout_diff
 from py_psnode_tpu.solvers import event_match, jumped_stream
 
@@ -37,6 +37,7 @@ def fused_dae_apply(
     Returns ``(x_pred, i_pred)`` batch-major — same contract as
     ``DAEModel.__call__`` (ref neural_01_DAE_01_no_encode.py:95-115).
     """
+    solver = normalize_solver(solver)
     xd, zd, vd, idim = dims
     h = hidden_dim
     p = params["params"]
@@ -86,6 +87,7 @@ def fused_dae_encode_apply(
     """
     from py_psnode_tpu.models.funcs import Codec
 
+    solver = normalize_solver(solver)
     xd, zd, vd, idim = dims
     h = hidden_dim
     p = params["params"]

@@ -24,6 +24,7 @@ from py_psnode_tpu.ops.fused_dae import (
     _dot,
     mlp_tail_fwd,
     mlp_tail_layers,
+    normalize_solver,
     pick_batch_block,
     split_de_layer1,
 )
@@ -304,6 +305,7 @@ def fused_ode_apply(
     """
     from py_psnode_tpu.solvers import event_match, jumped_stream
 
+    solver = normalize_solver(solver)
     p = params["params"]
     tm = lambda a: jnp.swapaxes(a, 0, 1)
     is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
@@ -332,6 +334,7 @@ def fused_ode_encode_apply(
     from py_psnode_tpu.models.funcs import Codec
     from py_psnode_tpu.solvers import event_match, jumped_stream
 
+    solver = normalize_solver(solver)
     h = hidden_dim
     p = params["params"]
     tm = lambda a: jnp.swapaxes(a, 0, 1)

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from py_psnode_tpu.models.funcs import AEFunc, DEFunc, InitFunc
 from py_psnode_tpu.solvers import event_match, jumped_stream
 from py_psnode_tpu.solvers.multishoot import (
+    _window_fold,
+    _window_unfold,
     multishoot_dae,
     multishoot_ode,
     tile_batch,
@@ -24,6 +26,12 @@ from py_psnode_tpu.solvers.multishoot import (
 
 def _tm(a):
     return jnp.swapaxes(a, 0, 1)
+
+
+def _check_windows(T: int, K: int) -> int:
+    if (T - 1) % K:
+        raise ValueError(f"(T-1)={T - 1} not divisible by n_windows={K}")
+    return (T - 1) // K
 
 
 def multishoot_ode_apply(
@@ -115,3 +123,119 @@ def multishoot_dae_apply(
         n_windows, is_event=ev, remat=remat, unroll=unroll,
     )
     return (_tm(x_sol), _tm(i_sol)), gaps
+
+
+def fused_multishoot_ode_apply(
+    params: Dict,
+    batch: Dict,
+    x_dim: int,
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused-kernel multi-shooting ODE forward: fold the K windows into the
+    batch axis (K×B — exactly where the batch-blocked Pallas kernel shines),
+    precompute the layer-1 streams once over the folded batch, and roll all
+    windows out in ONE kernel launch of T/K sequential steps.
+
+    Same contract as :func:`multishoot_ode_apply`:
+    ``(x_pred [B,T,xd], gaps [K-1,B,xd])``.
+    """
+    from py_psnode_tpu.ops.fused_ode import (
+        fused_ode_rollout_diff,
+        precompute_ode_streams,
+    )
+    from py_psnode_tpu.ops.fused_dae import normalize_solver
+
+    solver = normalize_solver(solver)
+    p = params["params"]
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    xT, zT = _tm(batch["x"]), _tm(batch["z"])
+    T, B = tT.shape[0], tT.shape[1]
+    K = n_windows
+    L = _check_windows(T, K)
+
+    tw = _window_fold(tT, K, L, 1)
+    xw = _window_fold(xT, K, L, 1)
+    zw = _window_fold(z_used, K, L, 0)
+    all_initial = jnp.concatenate([xT[0], zT[0]], axis=-1)
+    tiled = tile_batch(all_initial, K)  # same w*B+b order as _window_fold
+
+    s_de, weights = precompute_ode_streams(p, tiled, zw, x_dim)
+    dt = tw[1:] - tw[:-1]
+    sol_w = fused_ode_rollout_diff(s_de, weights, xw[0], dt, solver, interpret)
+    solution = _window_unfold(sol_w, K, L, B)
+    ends = sol_w[-1].reshape(K, B, -1)[:-1]
+    next_starts = xw[0].reshape(K, B, -1)[1:]
+    return _tm(solution), ends - next_starts
+
+
+def fused_multishoot_dae_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused-kernel multi-shooting DAE forward — the folded-batch counterpart
+    of :func:`multishoot_dae_apply`: window starts use the learned
+    ``Init_Func`` per window, ``all_initial`` is re-derived per window, and
+    the K×B folded rollout runs through the custom-VJP Pallas DAE kernel.
+
+    Returns ``((x_pred, i_pred) batch-major, gaps [K-1,B,xd])``.
+    """
+    from py_psnode_tpu.ops.fused_dae import normalize_solver, precompute_streams
+    from py_psnode_tpu.ops.fused_dae_vjp import fused_dae_rollout_diff
+
+    solver = normalize_solver(solver)
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    p = params["params"]
+
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    v_used = _tm(
+        jumped_stream(batch["v"], batch.get("v_jump"), is_event, e_idx)
+    )[:-1]
+    ev = _tm(is_event[:, :, None])[:-1, :, 0]
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
+    T, B = tT.shape[0], tT.shape[1]
+    K = n_windows
+    L = _check_windows(T, K)
+
+    tw = _window_fold(tT, K, L, 1)
+    zw_full = _window_fold(zT, K, L, 1)
+    vw_full = _window_fold(vT, K, L, 1)
+    iw_full = _window_fold(iT, K, L, 1)
+    zw = _window_fold(z_used, K, L, 0)
+    vw = _window_fold(v_used, K, L, 0)
+    evw = _window_fold(ev[:, :, None], K, L, 0)[:, :, 0]
+
+    init_f = InitFunc((h, h, xd))
+    x0w = init_f.apply({"params": p["init_func"]}, zw_full[0], vw_full[0], iw_full[0])
+    all_init_f = jnp.concatenate([x0w, zw_full[0], vw_full[0], iw_full[0]], -1)
+    i0w = AEFunc((h, h, h, idim)).apply(
+        {"params": p["ae_func"]}, all_init_f, x0w, zw_full[0], vw_full[0]
+    )
+    streams, weights = precompute_streams(
+        p, all_init_f, zw_full, vw_full, zw, vw, dims
+    )
+    dt = tw[1:] - tw[:-1]
+    x_sol_w, i_sol_w = fused_dae_rollout_diff(
+        streams, weights, x0w, i0w, dt, evw, solver, interpret
+    )
+    x_solution = _window_unfold(x_sol_w, K, L, B)
+    i_solution = _window_unfold(i_sol_w, K, L, B)
+    ends = x_sol_w[-1].reshape(K, B, -1)[:-1]
+    next_starts = x0w.reshape(K, B, -1)[1:]
+    return (_tm(x_solution), _tm(i_solution)), ends - next_starts

@@ -181,20 +181,28 @@ class Trainer:
         )
 
     def _multishoot_forward(self, model):
-        from py_psnode_tpu.train.multishoot_forward import (
-            multishoot_dae_apply,
-            multishoot_ode_apply,
-        )
+        from py_psnode_tpu.train import multishoot_forward as MS
 
         cfg, variant = self.cfg, self.variant
+        interpret = jax.default_backend() == "cpu"
         if variant.name == "ode_no_encode":
-            return lambda p, b: multishoot_ode_apply(
+            if cfg.fused:
+                return lambda p, b: MS.fused_multishoot_ode_apply(
+                    p, b, model.x_dim, model.hidden_dim, cfg.n_windows,
+                    solver=model.solver, interpret=interpret,
+                )
+            return lambda p, b: MS.multishoot_ode_apply(
                 p, b, model.x_dim, model.hidden_dim, cfg.n_windows,
                 solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
             )
         if variant.name == "dae_no_encode":
             dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
-            return lambda p, b: multishoot_dae_apply(
+            if cfg.fused:
+                return lambda p, b: MS.fused_multishoot_dae_apply(
+                    p, b, dims, model.hidden_dim, cfg.n_windows,
+                    solver=model.solver, interpret=interpret,
+                )
+            return lambda p, b: MS.multishoot_dae_apply(
                 p, b, dims, model.hidden_dim, cfg.n_windows,
                 solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
             )
@@ -236,7 +244,14 @@ class Trainer:
             gnorm = reference_grad_norm(grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            # skip-update-when-loss==0 guard (ref :359)
+            # Zero-loss guard, deliberately STRONGER than the reference:
+            # ref script1:359 skips only backward() on the ODE drivers (the
+            # DAE drivers have no guard at all) but still runs opt.step(),
+            # so params can drift on stale Adam momentum. Here params are
+            # frozen for ALL variants when loss == 0 (opt_state still
+            # advances with the zero-ish grads, mirroring the reference's
+            # opt.step()). Same spirit as the documented clip/no-op note in
+            # optim.py — an intentional hardening, not a parity bug.
             keep = loss != 0.0
             params = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(keep, n, o), new_params, params

@@ -123,6 +123,92 @@ def test_sqrt_remat_matches(rng):
         np.testing.assert_allclose(g_sqrt, g_true, rtol=1e-8)
 
 
+def _ode_model_batch(rng, B=4, T=13, xd=2, zd=1, h=8):
+    from py_psnode_tpu.models import ODEModel
+
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    event_t = np.full((B, 2), -1.0, f32)
+    for b in range(B):
+        event_t[b, 0] = t[b, 2 + b % 3, 0]
+    batch = dict(
+        t=jnp.asarray(t),
+        x=jnp.asarray(rng.normal(size=(B, T, xd)).astype(f32)),
+        z=jnp.asarray(rng.normal(size=(B, T, zd)).astype(f32)),
+        event_t=jnp.asarray(event_t),
+        z_jump=jnp.asarray(rng.normal(size=(B, 2, zd)).astype(f32)),
+    )
+    model = ODEModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver="euler")
+    args = tuple(batch[k] for k in ("t", "x", "z", "event_t", "z_jump"))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    return params, batch, xd, h
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_fused_multishoot_ode_grad_parity(rng, solver):
+    """Fused (Pallas, interpret) multishoot == XLA multishoot: outputs, gaps,
+    and gradients."""
+    from py_psnode_tpu.train.multishoot_forward import (
+        fused_multishoot_ode_apply,
+        multishoot_ode_apply,
+    )
+
+    params, batch, xd, h = _ode_model_batch(rng, T=13)
+    K = 4
+
+    def loss(p, fused):
+        fn = fused_multishoot_ode_apply if fused else multishoot_ode_apply
+        kw = dict(interpret=True) if fused else dict(remat=False)
+        out, gaps = fn(p, batch, xd, h, K, solver=solver, **kw)
+        return jnp.sum(out**2) + jnp.sum(gaps**2)
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4_38"])
+def test_fused_multishoot_dae_grad_parity(rng, solver):
+    """Same for the DAE family (events included); also exercises the
+    rk4_38 → rk4 fused-solver alias."""
+    from test_fused_dae import _setup
+    from py_psnode_tpu.train.multishoot_forward import (
+        fused_multishoot_dae_apply,
+        multishoot_dae_apply,
+    )
+
+    model, params, batch, args, dims5 = _setup(rng, B=3, T=9, h=8)
+    dims, h = dims5[:4], dims5[4]
+    K = 4
+
+    def loss(p, fused):
+        fn = fused_multishoot_dae_apply if fused else multishoot_dae_apply
+        kw = dict(interpret=True) if fused else dict(remat=False)
+        (x_sol, i_sol), gaps = fn(p, batch, dims, h, K, solver=solver, **kw)
+        return jnp.sum(x_sol**2) + 0.5 * jnp.sum(i_sol**2) + jnp.sum(gaps**2)
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_fused_solver_alias_and_rejects():
+    from py_psnode_tpu.ops.fused_dae import normalize_solver
+
+    assert normalize_solver("rk4_38") == "rk4"
+    assert normalize_solver("RK4") == "rk4"
+    with pytest.raises(ValueError, match="euler"):
+        normalize_solver("dopri5")
+
+
 def test_tile_batch():
     a = jnp.arange(6).reshape(2, 3)
     out = tile_batch(a, 2)

@@ -171,3 +171,31 @@ def test_multishoot_dae_training(smib_data, tmp_path):
     hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
     evals = [float(e[0]) + float(e[1]) for e in hist["eval"]]
     assert np.isfinite(evals).all()
+
+
+@pytest.mark.parametrize("variant_data", ["ode", "dae"])
+def test_fused_multishoot_training(avr_data, smib_data, tmp_path, variant_data):
+    """cfg.fused + cfg.n_windows routes through the fused kernels (windows
+    folded into the batch axis) and trains to the same ballpark as the XLA
+    multishoot path."""
+    import jax
+
+    if variant_data == "ode":
+        variant, data = "ode_no_encode", avr_data
+    else:
+        variant, data = "dae_no_encode", smib_data
+
+    def run(fused, tag):
+        cfg = _cfg(
+            variant, data, tmp_path / tag, epoch=1, n_windows=4, step=41,
+            larger_than=None, fused=fused,
+        )
+        params, _ = Trainer(cfg).train()
+        return jax.tree_util.tree_map(np.asarray, params)
+
+    p_f = run(True, f"{variant_data}_fused")
+    p_x = run(False, f"{variant_data}_xla")
+    # loose: Adam amplifies ~1e-6 kernel-vs-XLA float diffs across the epoch;
+    # strict per-step grad parity lives in test_multishoot.py
+    for a, b in zip(jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_x)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-2)
