@@ -1,6 +1,8 @@
 from py_psnode_tpu.export.artifacts import (  # noqa: F401
+    export_channelwise_submodule,
     export_stablehlo,
     export_submodule,
+    flatten_channelwise,
     flatten_params,
     load_params_npz,
     save_params_npz,

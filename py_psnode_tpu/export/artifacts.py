@@ -106,6 +106,58 @@ def export_submodule(
     write_weights_bin(path / f"{name}.weights.bin", flat)
 
 
+def flatten_channelwise(params, prefix="") -> Dict[str, np.ndarray]:
+    """Flatten a channel-wise subtree for the flat-bin runtime.
+
+    Binfmt/runtime decision: the dependency-free C++ runtime
+    (native/psnode_infer.cpp) evaluates 2-D ``Dense→ELU`` stacks discovered
+    by the ``<prefix>/dense_k/{kernel,bias}`` naming. ``PerChannelMLP``
+    holds STACKED per-channel weights (``w_k [C, in, out]``, ``b_k [C,
+    out]``) — those are sliced here into C independent nets named
+    ``<sub>/c<channel>/dense_<k>/...`` so the existing runtime loads the
+    channel-wise family without any C++ changes (one net per channel, plus
+    the plain-MLP "vertical" nets passing through unchanged). The ``.npz``
+    snapshot keeps the stacked layout for Python consumers; only the
+    ``.bin`` uses the sliced naming.
+    """
+    out = {}
+    if not isinstance(params, dict):
+        out[prefix[:-1]] = np.asarray(params)
+        return out
+    stacked = sorted(k for k in params if k.startswith("w_"))
+    if stacked and all(f"b_{k[2:]}" in params for k in stacked):
+        C = np.asarray(params[stacked[0]]).shape[0]
+        for c in range(C):
+            for li, wk in enumerate(stacked):
+                out[f"{prefix}c{c}/dense_{li}/kernel"] = np.asarray(
+                    params[wk][c]
+                )
+                out[f"{prefix}c{c}/dense_{li}/bias"] = np.asarray(
+                    params[f"b_{wk[2:]}"][c]
+                )
+        return out
+    for k, v in params.items():
+        out.update(flatten_channelwise(v, f"{prefix}{k}/"))
+    return out
+
+
+def export_channelwise_submodule(
+    path: pathlib.Path, name: str, sub_params,
+    stablehlo_fn=None, example_args=(),
+):
+    """Write the channel-wise artifacts for one submodule: stacked ``.npz``,
+    per-channel-sliced ``.bin`` (see :func:`flatten_channelwise`), and a
+    best-effort StableHLO of the submodule forward when provided."""
+    path = pathlib.Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    np.savez(path / f"{name}.weights.npz", **flatten_params(sub_params))
+    write_weights_bin(path / f"{name}.weights.bin", flatten_channelwise(sub_params))
+    if stablehlo_fn is not None:
+        hlo_path = path / f"{name}.stablehlo"
+        if not hlo_path.exists():
+            export_stablehlo(hlo_path, stablehlo_fn, (sub_params, *example_args))
+
+
 def write_dim_txt(path: pathlib.Path, hidden_dim: int):
     pathlib.Path(path).mkdir(parents=True, exist_ok=True)
     (pathlib.Path(path) / "dim.txt").write_text(str(hidden_dim))

@@ -18,7 +18,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from py_psnode_tpu.models.funcs import ChannelWiseDEFunc
+from py_psnode_tpu.models.funcs import ChannelWiseAEFunc, ChannelWiseDEFunc
 from py_psnode_tpu.solvers import event_match, get_stepper, jumped_stream
 from py_psnode_tpu.solvers.integrate import _scan
 
@@ -85,3 +85,90 @@ class ChannelWiseODEModel(nn.Module):
         x_pred = de.decode_x(xh_sol)  # [T, B, xd]
         x_re = de.decode_x(de.encode_x(x))  # [B, T, xd]
         return _tm(x_pred), x_re
+
+
+class ChannelWiseDAEModel(nn.Module):
+    """Channel-wise neural DAE — the end-to-end repaired ``DAE_Base``
+    analogue (ref neural_dae/neural_base.py:232-255, broken there: its
+    ``forward`` passes a nonexistent ``encode_x`` kwarg and omits the
+    required ``x_init``).
+
+    Family structure as the reference defines it: the channel-wise
+    ``DE_Func`` consumes only ``(Xh, z)`` (neural_base.py:110 — no algebraic
+    feedback into the dynamics) and the channel-wise ``AE_Func`` maps
+    ``(Xh, v) -> i`` (neural_base.py:225-229). The algebraic readout is
+    therefore DECOUPLED from the rollout — the TPU-native consequence is
+    that ``i`` is computed for all T steps at once as big batched einsums
+    after the latent ODE scan, instead of inside it.
+
+    Inputs follow the DAE batch contract (``t,x,z,v,i,event_t,z_jump,
+    v_jump``); ``i`` and ``v_jump`` are accepted for signature parity but do
+    not influence the rollout (no lagged-``i`` coupling in this family; the
+    readout uses raw ``v`` at each step, matching the main family's use of
+    raw inputs for ``g`` at t+1, ref my_solvers.py:121).
+
+    Returns ``(x_pred [B,T,xd], i_pred [B,T,id], x_re [B,T,xd])``.
+    """
+
+    x_dim: int
+    z_dim: int
+    v_dim: int
+    i_dim: int
+    hidden_dim: int
+    solver: str = "euler"
+    remat: object = True
+    unroll: int = 1
+
+    @nn.compact
+    def __call__(
+        self,
+        t,
+        x,
+        z,
+        v,
+        i,
+        event_t: Optional[jnp.ndarray] = None,
+        z_jump: Optional[jnp.ndarray] = None,
+        v_jump: Optional[jnp.ndarray] = None,
+    ):
+        de = ChannelWiseDEFunc(
+            x_dim=self.x_dim, z_dim=self.z_dim, hidden_dim=self.hidden_dim,
+            name="de_func",
+        )
+        ae = ChannelWiseAEFunc(
+            x_dim=self.x_dim, v_dim=self.v_dim, i_dim=self.i_dim,
+            hidden_dim=self.hidden_dim, name="ae_func",
+        )
+        stepper = get_stepper(self.solver)
+
+        is_event, e_idx = event_match(t, event_t)
+        z_used = jumped_stream(z, z_jump, is_event, e_idx)
+
+        tT, xT, vT = _tm(t), _tm(x), _tm(v)
+        zT_used = _tm(z_used)
+
+        xh0 = de.encode_x(xT[0])  # [B, xd, h]
+        f_init = de.features_of(xh0, _tm(z)[0])
+
+        def de_fn(tt, xh, zz):
+            return de(tt, f_init, xh, zz)
+
+        def body(xh_prev, inp):
+            t0, t1, z0 = inp
+            dt = (t1 - t0)[..., None]
+            f = lambda ttt, xx: de_fn(ttt, xx, z0)
+            xh1 = xh_prev + stepper(f, t0, dt, t1, xh_prev)
+            return xh1, xh1
+
+        if self.is_initializing():
+            de_fn(tT[0], xh0, zT_used[0])
+            de.decode_x(xh0)
+            ae(xh0, vT[0])
+
+        inputs = (tT[:-1], tT[1:], zT_used[:-1])
+        _, xhs = _scan(body, xh0, inputs, self.remat, self.unroll)
+        xh_sol = jnp.concatenate([xh0[None], xhs], axis=0)  # [T, B, xd, h]
+        x_pred = de.decode_x(xh_sol)  # [T, B, xd]
+        i_pred = ae(xh_sol, vT)  # [T, B, id] — parallel over T, no feedback
+        x_re = de.decode_x(de.encode_x(x))  # [B, T, xd]
+        return _tm(x_pred), _tm(i_pred), x_re

@@ -112,6 +112,36 @@ def dae_encode_loss(outputs, batch):
     }
 
 
+def ode_channelwise_loss(outputs, batch) -> Tuple[jnp.ndarray, Dict]:
+    """Channel-wise ODE family (repaired neural_base.py:68-133). The
+    reference never wired this family into a driver, so there is no loss to
+    pin; we follow the direct-encode recipe (the family is an autoencoding
+    design): masked x_loss + x0 + reconstruction."""
+    return ode_encode_loss(outputs, batch)
+
+
+def dae_channelwise_loss(outputs, batch):
+    """Channel-wise DAE family (repaired neural_base.py:199-255). No
+    reference driver exists; composition follows the DAE-encode recipe minus
+    the i-reconstruction (this family has no i-autoencoder — ``i`` is a pure
+    readout): masked x/i losses + unmasked x0/i0 + x reconstruction."""
+    x_pred, i_pred, x_re = outputs
+    x, i, mask = batch["x"], batch["i"], batch["mask"]
+    w = batch.get("sample_w")
+    x_loss = jnp.sum((x_pred - x) ** 2 * mask) / jnp.sum(mask)
+    i_loss = jnp.sum((i_pred - i) ** 2 * mask) / jnp.sum(mask)
+    recon = mse(x_re, x, w)
+    x0_loss = mse(x[:, 0, :], x_pred[:, 0, :], w)
+    i0_loss = mse(i[:, 0, :], i_pred[:, 0, :], w)
+    loss = x_loss + i_loss + x0_loss + i0_loss + recon
+    return loss, {
+        "x_loss": x_loss,
+        "i_loss": i_loss,
+        "recon_loss": recon,
+        "loss": loss,
+    }
+
+
 def robust_time_series_loss(loss: jnp.ndarray, limit_loss=None):
     """Branchless equivalent of ``Losses.multi_time_series_loss``
     (ref utils.py:29-42): NaN → zero-gradient zero; elementwise losses above

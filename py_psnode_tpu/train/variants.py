@@ -14,9 +14,15 @@ from typing import Callable, Optional, Tuple
 
 import numpy as np
 
-from py_psnode_tpu.export import export_submodule, write_dim_txt
+from py_psnode_tpu.export import (
+    export_channelwise_submodule,
+    export_submodule,
+    write_dim_txt,
+)
 from py_psnode_tpu.models import (
     AEFunc,
+    ChannelWiseDAEModel,
+    ChannelWiseODEModel,
     Codec,
     DAEEncodeModel,
     DAEModel,
@@ -143,6 +149,49 @@ def _export_dae_encode(model, params, dims, path):
     )
 
 
+def _export_ode_channelwise(model, params, dims, path):
+    """Channel-wise ODE export (the family the reference ships but never
+    wires up — neural_base.py:68-133). See
+    :func:`py_psnode_tpu.export.flatten_channelwise` for the per-channel
+    binfmt decision; stacked ``.npz`` + sliced ``.bin`` + dim.txt."""
+    from py_psnode_tpu.models.funcs import ChannelWiseDEFunc
+
+    h = model.hidden_dim
+    xd, zd = dims["x_dim"], dims["z_dim"]
+    p = params["params"]
+    z32 = lambda *s: np.zeros(s, np.float32)
+    write_dim_txt(path, h)
+    de = ChannelWiseDEFunc(x_dim=xd, z_dim=zd, hidden_dim=h)
+    export_channelwise_submodule(
+        path, "de_func", p["de_func"],
+        stablehlo_fn=lambda pp, *a: de.apply({"params": pp}, *a),
+        example_args=(0.0, z32(1, xd + zd, h), z32(1, xd, h), z32(1, zd)),
+    )
+
+
+def _export_dae_channelwise(model, params, dims, path):
+    """Channel-wise DAE export — de_func + ae_func, same binfmt decision."""
+    from py_psnode_tpu.models.funcs import ChannelWiseAEFunc, ChannelWiseDEFunc
+
+    h = model.hidden_dim
+    xd, zd, vd, idim = dims["x_dim"], dims["z_dim"], dims["v_dim"], dims["i_dim"]
+    p = params["params"]
+    z32 = lambda *s: np.zeros(s, np.float32)
+    write_dim_txt(path, h)
+    de = ChannelWiseDEFunc(x_dim=xd, z_dim=zd, hidden_dim=h)
+    export_channelwise_submodule(
+        path, "de_func", p["de_func"],
+        stablehlo_fn=lambda pp, *a: de.apply({"params": pp}, *a),
+        example_args=(0.0, z32(1, xd + zd, h), z32(1, xd, h), z32(1, zd)),
+    )
+    ae = ChannelWiseAEFunc(x_dim=xd, v_dim=vd, i_dim=idim, hidden_dim=h)
+    export_channelwise_submodule(
+        path, "ae_func", p["ae_func"],
+        stablehlo_fn=lambda pp, *a: ae.apply({"params": pp}, *a),
+        example_args=(z32(1, xd, h), z32(1, vd)),
+    )
+
+
 VARIANTS = {
     "ode_no_encode": Variant(
         name="ode_no_encode",
@@ -191,6 +240,31 @@ VARIANTS = {
         ),
         loss_fn=L.dae_encode_loss,
         export_fn=_export_dae_encode,
+    ),
+    # --- channel-wise alternate family (repaired neural_base.py:68-255) ---
+    "ode_channelwise": Variant(
+        name="ode_channelwise",
+        kind="ode",
+        encode=True,  # per-channel autoencoding design
+        larger_than=None,
+        batch_args=ODE_BATCH_ARGS,
+        make_model=lambda dims, hidden, **kw: ChannelWiseODEModel(
+            **dims, hidden_dim=hidden, **kw
+        ),
+        loss_fn=L.ode_channelwise_loss,
+        export_fn=_export_ode_channelwise,
+    ),
+    "dae_channelwise": Variant(
+        name="dae_channelwise",
+        kind="dae",
+        encode=True,
+        larger_than=None,
+        batch_args=DAE_BATCH_ARGS,
+        make_model=lambda dims, hidden, **kw: ChannelWiseDAEModel(
+            **dims, hidden_dim=hidden, **kw
+        ),
+        loss_fn=L.dae_channelwise_loss,
+        export_fn=_export_dae_channelwise,
     ),
 }
 

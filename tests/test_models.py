@@ -170,3 +170,51 @@ def test_channelwise_ode_model(rng):
     g = jax.grad(lambda p: float(0) + jnp.sum(
         m.apply(p, t, x, z, event_t, z_jump)[0] ** 2))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_channelwise_dae_model(rng):
+    """End-to-end channel-wise DAE (repaired DAE_Base,
+    ref neural_base.py:232-255): shapes, initial rows, decoupled algebraic
+    readout, gradients."""
+    from py_psnode_tpu.models import ChannelWiseDAEModel
+    import jax
+
+    B, T, xd, zd, vd, idim, h = 2, 6, 2, 1, 2, 2, 8
+    f32 = np.float32
+    t = jnp.asarray(np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02)
+    x = jnp.asarray(rng.normal(size=(B, T, xd)).astype(f32))
+    z = jnp.asarray(rng.normal(size=(B, T, zd)).astype(f32))
+    v = jnp.asarray(rng.normal(size=(B, T, vd)).astype(f32))
+    i = jnp.asarray(rng.normal(size=(B, T, idim)).astype(f32))
+    event_t = jnp.asarray(np.full((B, 2), -1.0, f32)).at[:, 0].set(t[0, 2, 0])
+    z_jump = jnp.asarray(rng.normal(size=(B, 2, zd)).astype(f32))
+    v_jump = jnp.asarray(rng.normal(size=(B, 2, vd)).astype(f32))
+    m = ChannelWiseDAEModel(
+        x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, hidden_dim=h, solver="rk4"
+    )
+    args = (t, x, z, v, i, event_t, z_jump, v_jump)
+    params = m.init(jax.random.PRNGKey(0), *args)
+    x_pred, i_pred, x_re = m.apply(params, *args)
+    assert x_pred.shape == x.shape and i_pred.shape == i.shape
+    assert x_re.shape == x.shape
+    assert np.isfinite(np.array(x_pred)).all() and np.isfinite(np.array(i_pred)).all()
+    # x_pred[0] is the encode-decode of the true initial state (this family
+    # reads x0 from data — no Init_Func in the reference design)
+    np.testing.assert_allclose(
+        np.asarray(x_pred[:, 0]), np.asarray(x_re[:, 0]), rtol=1e-5, atol=1e-6
+    )
+    # the algebraic readout is decoupled: i_pred[t] depends only on the
+    # latent state and raw v[t] — perturbing v at step k changes i at k
+    # but not x anywhere
+    v2 = v.at[:, 3].add(1.0)
+    x_pred2, i_pred2, _ = m.apply(params, t, x, z, v2, i, event_t, z_jump, v_jump)
+    np.testing.assert_allclose(np.asarray(x_pred2), np.asarray(x_pred), rtol=1e-6)
+    assert not np.allclose(np.asarray(i_pred2[:, 3]), np.asarray(i_pred[:, 3]))
+    np.testing.assert_allclose(
+        np.asarray(i_pred2[:, 2]), np.asarray(i_pred[:, 2]), rtol=1e-6
+    )
+    g = jax.grad(
+        lambda p: jnp.sum(m.apply(p, *args)[0] ** 2)
+        + jnp.sum(m.apply(p, *args)[1] ** 2)
+    )(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))

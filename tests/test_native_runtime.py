@@ -82,6 +82,62 @@ def test_codec_parity_and_errors(native, tmp_path, rng):
         mod.forward("net/", np.zeros((B, h + 1), np.float32))
 
 
+def test_channelwise_bin_parity(native, tmp_path, rng):
+    """Per-channel stacked weights slice into C independent Dense nets in
+    the flat-bin (binfmt decision, export.flatten_channelwise) — the
+    unchanged C++ runtime must evaluate each channel net to parity."""
+    from py_psnode_tpu.export import flatten_channelwise
+    from py_psnode_tpu.models.funcs import ChannelWiseAEFunc
+
+    xd, vd, idim, h, B = 2, 2, 2, 8, 3
+    ae = ChannelWiseAEFunc(x_dim=xd, v_dim=vd, i_dim=idim, hidden_dim=h)
+    xh = jnp.asarray(rng.normal(size=(B, xd, h)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, vd)).astype(np.float32))
+    params = ae.init(jax.random.PRNGKey(0), xh, v)
+    path = tmp_path / "cw.weights.bin"
+    write_weights_bin(path, flatten_channelwise(params["params"]))
+    mod = native(path)
+    # per-channel nets discovered: v_encoder/c0.. plus the vertical MLP
+    assert "v_encoder/c0/" in mod.nets and "v_encoder/c1/" in mod.nets
+    assert "yh_func_v/" in mod.nets
+    # channel-0 encoder: [B,1] -> [B,h], ELU between layers only
+    p = params["params"]["v_encoder"]
+    w0, b0 = np.asarray(p["w_0"][0]), np.asarray(p["b_0"][0])
+    w1, b1 = np.asarray(p["w_1"][0]), np.asarray(p["b_1"][0])
+    x_in = np.asarray(v[:, 0:1])
+    hidden = x_in @ w0 + b0
+    hidden = np.where(hidden > 0, hidden, np.expm1(hidden))
+    expected = hidden @ w1 + b1
+    got = mod.forward("v_encoder/c0/", x_in)
+    np.testing.assert_allclose(got, expected, rtol=2e-5, atol=1e-6)
+
+
+def test_channelwise_export_loads_in_runtime(native, tmp_path, rng):
+    """Full-circle for the channel-wise DAE: registry export → native
+    runtime loads both submodules with per-channel nets."""
+    from py_psnode_tpu.train.variants import get_variant
+
+    v = get_variant("dae_channelwise")
+    dims = {"x_dim": 2, "z_dim": 1, "v_dim": 2, "i_dim": 2}
+    model = v.make_model(dims, 8)
+    B, T = 2, 5
+    f32 = np.float32
+    t = jnp.asarray(np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1))
+    x = jnp.asarray(rng.normal(size=(B, T, 2)).astype(f32))
+    z = jnp.asarray(rng.normal(size=(B, T, 1)).astype(f32))
+    vv = jnp.asarray(rng.normal(size=(B, T, 2)).astype(f32))
+    ii = jnp.asarray(rng.normal(size=(B, T, 2)).astype(f32))
+    params = model.init(jax.random.PRNGKey(0), t, x, z, vv, ii)
+    v.export_fn(model, params, dims, tmp_path / "saved")
+    de_mod = native(tmp_path / "saved" / "de_func.weights.bin")
+    ae_mod = native(tmp_path / "saved" / "ae_func.weights.bin")
+    assert any(n.startswith("x_encoder/c") for n in de_mod.nets)
+    assert "xh_dot_v/" in de_mod.nets
+    out = de_mod.forward("x_encoder/c0/", np.zeros((1, 1), np.float32))
+    assert out.shape == (1, 8) and np.isfinite(out).all()
+    assert "yh_func_v/" in ae_mod.nets
+
+
 def test_exported_artifact_loads(native, tmp_path, rng):
     """Full-circle: trainer export → native runtime."""
     from py_psnode_tpu.train.variants import get_variant
