@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fused", action="store_true",
                         help="Route the forward through the fused Pallas "
                              "kernels (~4-5x faster on TPU).")
+    parser.add_argument("--input_true_x", action="store_true",
+                        help="Teacher forcing: feed the TRUE previous state "
+                             "to every solver step (ref my_solvers.py:74).")
+    parser.add_argument("--input_true_i", action="store_true",
+                        help="Teacher forcing (DAE only): feed the TRUE "
+                             "lagged algebraic output to every step "
+                             "(ref my_solvers.py:113,118).")
     parser.add_argument("--larger_than", type=str, default="variant",
                         help='contain_larger_than/show_larger_than filter: a '
                              'float, "none", or "variant" (per-variant '
@@ -134,6 +141,8 @@ def main(variant: str, argv=None):
         n_devices=args.devices or None,
         seed=args.seed,
         fused=args.fused,
+        input_true_x=args.input_true_x,
+        input_true_i=args.input_true_i,
         larger_than=_parse_larger_than(args.larger_than),
         progress=True,
     )

@@ -1,0 +1,142 @@
+"""TPU-native teacher-forcing forwards.
+
+The reference threads ``input_true_x`` / ``input_true_i`` through the solver
+loop (ref my_solvers.py:74,111-119; script3:95-96) and pays the same
+sequential cost as a rollout. On TPU, teacher forcing CHANGES THE PROBLEM
+SHAPE:
+
+  * ``input_true_x`` (ODE): every step reads the TRUE previous state, so no
+    step depends on any other — the whole "solve" is ``T-1`` independent
+    dynamics evaluations. :func:`tf_parallel_ode_apply` evaluates them as a
+    single batched ``[T-1, B]`` matmul stack on the MXU. No Pallas kernel is
+    needed or wanted: a sequential scan kernel would serialize work that is
+    embarrassingly parallel.
+
+  * ``input_true_i`` (DAE): the lagged algebraic input stream is known in
+    advance, so the differential rollout degenerates to an ODE whose
+    per-step layer-1 contribution (init + z + v + i projections) is fully
+    precomputable. :func:`fused_dae_tf_i_apply` folds the true-``i``
+    projection into the fused ODE kernel's precomputed stream and computes
+    the algebraic readout ``i_j = g(x_j, z_j, v_j)`` for all steps at once
+    after the rollout. (The event recompute of ref my_solvers.py:108-110 is
+    statically dead under ``input_true_i`` — ref :113 — so this is exact.)
+
+``input_true_x`` for the DAE stays on the XLA scan path: the event-step
+algebraic recompute reads the ROLLED-OUT previous state (ref :108-110), so
+consecutive event steps reintroduce a (sparse) sequential dependence that
+the models' golden-tested scan already handles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from py_psnode_tpu.models.funcs import AEFunc, DEFunc, InitFunc
+from py_psnode_tpu.ops.fused_dae import normalize_solver, precompute_streams
+from py_psnode_tpu.ops.fused_ode import fused_ode_rollout_diff
+from py_psnode_tpu.solvers import event_match, get_stepper, jumped_stream
+
+
+def _tm(a):
+    return jnp.swapaxes(a, 0, 1)
+
+
+def tf_parallel_ode_apply(
+    params: Dict,
+    batch: Dict,
+    x_dim: int,
+    hidden_dim: int,
+    solver: str = "euler",
+):
+    """Teacher-forced ODE forward, parallel over time.
+
+    Exact semantics of ``integrate_ode(..., input_true_x=True)``
+    (ref my_solvers.py:74): ``x[j] = x_true[j-1] + step(f; t[j-1], dt_j,
+    x_true[j-1], z_step[j-1])`` — evaluated for all j at once.
+    Returns batch-major ``x_pred`` (the ``ODEModel.__call__`` contract).
+    """
+    h = hidden_dim
+    p = params["params"]
+    de = DEFunc((h, h, h, x_dim))
+    stepper = get_stepper(solver)
+
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    xT, zT = _tm(batch["x"]), _tm(batch["z"])
+    Tm1 = tT.shape[0] - 1
+
+    all_initial = jnp.concatenate([xT[0], zT[0]], axis=-1)
+    init_b = jnp.broadcast_to(all_initial, (Tm1,) + all_initial.shape)
+
+    def f(tt, xx):
+        # xx: [T-1, B, xd]; z_used: [T-1, B, zd] — one batched eval
+        return de.apply({"params": p["de_func"]}, tt, init_b, xx, z_used)
+
+    t0, t1 = tT[:-1], tT[1:]
+    dt = t1 - t0
+    x_in = xT[:-1]
+    x1 = x_in + stepper(f, t0, dt, t1, x_in)
+    solution = jnp.concatenate([xT[0][None], x1], axis=0)
+    return _tm(solution)
+
+
+def fused_dae_tf_i_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Teacher-forced-``i`` DAE forward through the fused ODE kernel.
+
+    Exact semantics of ``integrate_dae(..., input_true_i=True)``
+    (ref my_solvers.py:113,118): the step consumes the TRUE lagged ``i``
+    stream (no event recompute, ref :113), so its projection folds into the
+    precomputed layer-1 stream and the rollout is a pure ODE in ``x``; the
+    algebraic readout then runs parallel over all steps.
+
+    Returns ``(x_pred, i_pred)`` batch-major (``DAEModel.__call__``
+    contract).
+    """
+    solver = normalize_solver(solver)
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    p = params["params"]
+
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    v_used = _tm(
+        jumped_stream(batch["v"], batch.get("v_jump"), is_event, e_idx)
+    )[:-1]
+
+    x0 = InitFunc((h, h, xd)).apply({"params": p["init_func"]}, zT[0], vT[0], iT[0])
+    all_initial = jnp.concatenate([x0, zT[0], vT[0], iT[0]], axis=-1)
+    ae = AEFunc((h, h, h, idim))
+    i0 = ae.apply({"params": p["ae_func"]}, all_initial, x0, zT[0], vT[0])
+
+    streams, weights = precompute_streams(
+        p, all_initial, zT, vT, z_used, v_used, dims
+    )
+    # fold the known lagged-i projection into the per-step stream: the
+    # differential rollout no longer carries i at all
+    s_de = streams["s_de"] + iT[:-1] @ weights["wi_de"]
+    ode_weights = dict(wx_de=weights["wx_de"], de_tail=weights["de_tail"])
+    dt = tT[1:] - tT[:-1]
+    x_sol = fused_ode_rollout_diff(s_de, ode_weights, x0, dt, solver, interpret)
+
+    # parallel algebraic readout at the raw inputs (ref my_solvers.py:121)
+    Tm1 = tT.shape[0] - 1
+    init_b = jnp.broadcast_to(all_initial, (Tm1,) + all_initial.shape)
+    i_rest = ae.apply({"params": p["ae_func"]}, init_b, x_sol[1:], zT[1:], vT[1:])
+    i_sol = jnp.concatenate([i0[None], i_rest], axis=0)
+    return _tm(x_sol), _tm(i_sol)

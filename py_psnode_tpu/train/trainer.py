@@ -86,8 +86,16 @@ class TrainConfig:
     # structured metrics (train_metrics.jsonl) alongside the text logs
     jsonl_metrics: bool = True
     # route the DAE no-encode forward through the fused Pallas kernel pair
-    # (~5x faster rollout; requires euler/rk4 and no teacher forcing)
+    # (~5x faster rollout)
     fused: bool = False
+    # teacher forcing (ref my_solvers.py:74,111-119): feed the TRUE previous
+    # state (input_true_x) and/or TRUE lagged algebraic output (input_true_i,
+    # DAE only) to each step. With fused=True: TF-x ODE runs time-PARALLEL
+    # (no sequential dependence remains), TF-i DAE runs through the fused ODE
+    # kernel; fused TF-x DAE / encode-variant TF falls back to the XLA scan
+    # with a logged warning.
+    input_true_x: bool = False
+    input_true_i: bool = False
     # multi-shooting: split the horizon into K windows trained in parallel
     # (no-encode variants; (step-1) must be divisible by K). gap_weight
     # penalizes window-boundary continuity defects.
@@ -145,7 +153,11 @@ class Trainer:
 
     def _forward_fn(self, model):
         variant = self.variant
+        cfg = self.cfg
         interpret = jax.default_backend() == "cpu"  # Pallas on CPU = interpreter
+        tf_x, tf_i = cfg.input_true_x, cfg.input_true_i
+        if tf_x or tf_i:
+            return self._teacher_forced_forward(model, interpret)
         if self.cfg.fused and variant.name == "dae_no_encode":
             from py_psnode_tpu.ops import fused_dae_apply
 
@@ -178,6 +190,56 @@ class Trainer:
             )
         return lambda params, batch: model.apply(
             params, *[batch[k] for k in variant.batch_args]
+        )
+
+    def _teacher_forced_forward(self, model, interpret):
+        """Dispatch the teacher-forcing forward (see TrainConfig docstring
+        for the fused-path matrix)."""
+        import logging
+
+        cfg, variant = self.cfg, self.variant
+        tf_x, tf_i = cfg.input_true_x, cfg.input_true_i
+        if variant.kind == "ode" and tf_i:
+            raise ValueError(
+                "input_true_i applies to DAE variants only (ODEs have no "
+                "algebraic output)"
+            )
+        if "channelwise" in variant.name:
+            raise ValueError(
+                "the channel-wise family defines no teacher forcing "
+                "(ref neural_base.py has none for it)"
+            )
+        if cfg.n_windows:
+            raise ValueError(
+                "teacher forcing and multi-shooting are mutually exclusive "
+                "(multi-shooting IS windowed teacher forcing)"
+            )
+        if cfg.fused:
+            if variant.name == "ode_no_encode" and tf_x:
+                from py_psnode_tpu.ops.teacher_forcing import tf_parallel_ode_apply
+
+                return lambda p, b: tf_parallel_ode_apply(
+                    p, b, model.x_dim, model.hidden_dim, solver=model.solver
+                )
+            if variant.name == "dae_no_encode" and tf_i and not tf_x:
+                from py_psnode_tpu.ops.teacher_forcing import fused_dae_tf_i_apply
+
+                dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+                return lambda p, b: fused_dae_tf_i_apply(
+                    p, b, dims, model.hidden_dim, solver=model.solver,
+                    interpret=interpret,
+                )
+            logging.getLogger("py_psnode_tpu").warning(
+                "fused=True with teacher forcing (%s, input_true_x=%s, "
+                "input_true_i=%s) has no fused kernel for this combination; "
+                "falling back to the XLA scan forward.",
+                variant.name, tf_x, tf_i,
+            )
+        kwargs = {"input_true_x": tf_x}
+        if variant.kind == "dae":
+            kwargs["input_true_i"] = tf_i
+        return lambda params, batch: model.apply(
+            params, *[batch[k] for k in variant.batch_args], **kwargs
         )
 
     def _multishoot_forward(self, model):
