@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fused", action="store_true",
                         help="Route the forward through the fused Pallas "
                              "kernels (~4-5x faster on TPU).")
+    parser.add_argument("--checkpointer", type=str, default="npz",
+                        help='Checkpoint backend: "npz" (reference-parity '
+                             'single-file snapshots) or "orbax" (also '
+                             'captures optimizer state for exact resume).')
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="On start, continue from the newest "
+                             "model_checkpoint.{epoch} in the model dir "
+                             "(crash recovery).")
     parser.add_argument("--input_true_x", action="store_true",
                         help="Teacher forcing: feed the TRUE previous state "
                              "to every solver step (ref my_solvers.py:74).")
@@ -141,6 +149,8 @@ def main(variant: str, argv=None):
         n_devices=args.devices or None,
         seed=args.seed,
         fused=args.fused,
+        checkpointer=args.checkpointer,
+        auto_resume=args.auto_resume,
         input_true_x=args.input_true_x,
         input_true_i=args.input_true_i,
         larger_than=_parse_larger_than(args.larger_than),

@@ -33,6 +33,26 @@ def latest_checkpoint(model_dir) -> Optional[Tuple[int, pathlib.Path]]:
     return best
 
 
+def load_checkpoint_params(path):
+    """Load model params from either checkpoint format: a single-file npz
+    snapshot (reference name parity) or an orbax checkpoint directory
+    (which also carries ``opt_state`` — ignored here)."""
+    import jax
+    import jax.numpy as jnp
+
+    path = pathlib.Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        state = ckptr.restore(path.resolve())
+        params = state.get("params", state) if isinstance(state, dict) else state
+        return jax.tree_util.tree_map(jnp.asarray, params)
+    from py_psnode_tpu.export import load_params_npz
+
+    return load_params_npz(path)
+
+
 class OrbaxCheckpointer:
     """Orbax PyTree checkpoints of ``{"params": ..., "opt_state": ...}``."""
 

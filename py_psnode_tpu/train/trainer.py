@@ -107,6 +107,17 @@ class TrainConfig:
     # when the dataset fits under device_data_max_bytes; single-device only.
     device_data: bool = True
     device_data_max_bytes: int = 2 << 30
+    # checkpoint backend: "npz" (reference-parity single-file snapshots) or
+    # "orbax" (directory checkpoints that ALSO capture the optimizer state —
+    # the reference loses it on resume). Names stay model_checkpoint.{epoch}.
+    checkpointer: str = "npz"
+    orbax_keep: Optional[int] = None  # retain last N orbax epochs (None=all)
+    # crash recovery: on train() start, discover the newest
+    # model_checkpoint.{epoch} in the model dir and continue from epoch+1
+    # in the SAME directory (orbax restores opt_state exactly → the resumed
+    # run is bitwise-identical to an uninterrupted one; npz restores params
+    # only and restarts the optimizer, logged as a warning).
+    auto_resume: bool = False
 
 
 class Trainer:
@@ -479,17 +490,57 @@ class Trainer:
         )
         opt_state = tx.init(params)
 
-        # model path (+ resume-from-file branching, ref :297-305)
-        model_path = pathlib.Path(cfg.model)
-        if model_path.exists() and not model_path.is_dir():
-            from py_psnode_tpu.export import load_params_npz
+        # model path (+ resume-from-checkpoint branching, ref :297-305; a
+        # checkpoint is an npz FILE or an orbax model_checkpoint.N DIR)
+        import re as _re
 
-            params = load_params_npz(model_path)
+        from py_psnode_tpu.train.checkpoints import (
+            OrbaxCheckpointer,
+            latest_checkpoint,
+            load_checkpoint_params,
+        )
+
+        model_path = pathlib.Path(cfg.model)
+        is_ckpt_dir = model_path.is_dir() and _re.fullmatch(
+            r"model_checkpoint\.\d+", model_path.name
+        )
+        if model_path.exists() and (not model_path.is_dir() or is_ckpt_dir):
+            params = load_checkpoint_params(model_path)
             opt_state = tx.init(params)
             model_path = model_path.parent / (model_path.name + "_branch")
         model_path.mkdir(parents=True, exist_ok=True)
+        ckptr = (
+            OrbaxCheckpointer(model_path, keep=cfg.orbax_keep)
+            if cfg.checkpointer == "orbax"
+            else None
+        )
+
+        # crash→auto-resume: continue from the newest epoch in the SAME dir
+        start_epoch = 1
+        resume_note = None
+        if cfg.auto_resume:
+            found = latest_checkpoint(model_path)
+            if found is not None:
+                ep, cpath = found
+                if cpath.is_dir() and ckptr is not None:
+                    state = ckptr.restore(
+                        cpath, template={"params": params, "opt_state": opt_state}
+                    )
+                    params, opt_state = state["params"], state["opt_state"]
+                    resume_note = f"auto-resume from {cpath.name} (orbax, opt_state restored)"
+                else:
+                    params = load_checkpoint_params(cpath)
+                    opt_state = tx.init(params)
+                    resume_note = (
+                        f"auto-resume from {cpath.name} (params only — "
+                        "optimizer state restarted; use checkpointer='orbax' "
+                        "for exact resume)"
+                    )
+                start_epoch = ep + 1
 
         logger = Logger(model_path, "training.log", "testing.log", echo=cfg.echo_logs)
+        if resume_note:
+            logger.training_log(resume_note)
         metrics = (
             JsonlMetrics(model_path / "train_metrics.jsonl")
             if cfg.jsonl_metrics
@@ -539,7 +590,7 @@ class Trainer:
         logger.training_log(f"Start training {variant.name} model")
         logger.training_log("=" * 86)
 
-        epochs = range(1, cfg.epoch + 1)
+        epochs = range(start_epoch, cfg.epoch + 1)
         if cfg.progress:
             epochs = tqdm(epochs, desc="Epoch", ncols=80)
         def _epoch_steps(epoch):
@@ -606,9 +657,12 @@ class Trainer:
             logger.training_log("-" * 86)
 
             # per-epoch checkpoint + eval + history + export (ref :388-402)
-            from py_psnode_tpu.export import save_params_npz
+            if ckptr is not None:
+                ckptr.save(epoch, params, opt_state)
+            else:
+                from py_psnode_tpu.export import save_params_npz
 
-            save_params_npz(model_path / f"model_checkpoint.{epoch}", params)
+                save_params_npz(model_path / f"model_checkpoint.{epoch}", params)
             logger.testing_log("=" * 86)
             logger.testing_log(f"Training Epoch {epoch}, evaluate on testing set.")
             eval_error_list.append(
@@ -634,6 +688,8 @@ class Trainer:
             variant.export_fn(model, params, dims, model_path / "saved model")
 
         variant.export_fn(model, params, dims, model_path / "saved model")
+        if ckptr is not None:
+            ckptr.wait()
         if variant.kind == "dae":
             E.output_training_process_dae(logger, eval_error_list)
         else:
@@ -650,12 +706,10 @@ class Trainer:
         eval_batch = self._eval_batch_size(test_ds)
         model, _, dims = self.build_model(test_ds)
         model_path = pathlib.Path(cfg.model)
-        assert model_path.exists() and not model_path.is_dir(), (
-            f"{model_path} is not a file or does not exist!"
-        )
-        from py_psnode_tpu.export import load_params_npz
+        assert model_path.exists(), f"{model_path} does not exist!"
+        from py_psnode_tpu.train.checkpoints import load_checkpoint_params
 
-        params = load_params_npz(model_path)
+        params = load_checkpoint_params(model_path)
         pic_path = model_path.parent / "pics" if cfg.drawing else None
         logger = Logger(
             model_path.parent,
@@ -686,11 +740,9 @@ class Trainer:
         test_ds = self.load_test_dataset()
         model, _, dims = self.build_model(test_ds)
         model_path = pathlib.Path(cfg.model)
-        assert model_path.exists() and not model_path.is_dir(), (
-            f"{model_path} is not a file or does not exist!"
-        )
-        from py_psnode_tpu.export import load_params_npz
+        assert model_path.exists(), f"{model_path} does not exist!"
+        from py_psnode_tpu.train.checkpoints import load_checkpoint_params
 
-        params = load_params_npz(model_path)
+        params = load_checkpoint_params(model_path)
         variant.export_fn(model, params, dims, model_path.parent / "saved model")
         return model_path.parent / "saved model"
