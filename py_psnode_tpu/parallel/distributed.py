@@ -33,13 +33,27 @@ def initialize(
     return True
 
 
-def make_pod_mesh(ici_axis: str = "data", dcn_axis: str = "dcn") -> Mesh:
+def make_pod_mesh(
+    ici_axis: str = "data",
+    dcn_axis: str = "dcn",
+    dcn_size: Optional[int] = None,
+) -> Mesh:
     """Global mesh with the slow DCN axis outermost: gradients all-reduce
-    hierarchically (ICI within a slice, DCN across slices)."""
+    hierarchically (ICI within a slice, DCN across slices).
+
+    ``dcn_size`` overrides the process count to SIMULATE a multi-slice
+    topology on a single process (e.g. ``dcn_size=2`` over the virtual
+    8-device CPU mesh yields a 2×4 ``(dcn, data)`` mesh) — the sharding,
+    collective insertion, and batch assembly are identical to the real
+    multi-host layout; only the transport differs."""
     devices = np.array(jax.devices())
-    n_hosts = jax.process_count()
-    per = len(devices) // max(n_hosts, 1)
-    arr = devices.reshape(n_hosts, per) if n_hosts > 1 else devices.reshape(1, -1)
+    n_hosts = dcn_size if dcn_size is not None else jax.process_count()
+    n_hosts = max(n_hosts, 1)
+    if len(devices) % n_hosts:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by dcn size {n_hosts}"
+        )
+    arr = devices.reshape(n_hosts, len(devices) // n_hosts)
     return Mesh(arr, (dcn_axis, ici_axis))
 
 
