@@ -93,21 +93,26 @@ def main():
     from py_psnode_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
+    from benchmarks.full_suite import PEAK_FLOPS_V5E, train_step_flops
     from benchmarks.torch_baseline import get_pin
 
     pin = get_pin(allow_measure=True)
     sec, traj_steps_per_sec = bench_tpu_train_step()
     vs = traj_steps_per_sec / pin["trajectory_steps_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "trajectory-steps/sec/chip (batched RK4 DAE train step, fused Pallas, B=64 T=1001 h=128)",
-                "value": round(traj_steps_per_sec, 1),
-                "unit": "traj_steps/s",
-                "vs_baseline": round(vs, 2),
-            }
+    flops = train_step_flops("dae_no_encode", 64, 1001, 128, (2, 1, 2, 2), "rk4")
+    out = {
+        "metric": "trajectory-steps/sec/chip (batched RK4 DAE train step, fused Pallas, B=64 T=1001 h=128)",
+        "value": round(traj_steps_per_sec, 1),
+        "unit": "traj_steps/s",
+        "vs_baseline": round(vs, 2),
+        "mfu_pct_of_bf16_peak": round(flops / sec / PEAK_FLOPS_V5E * 100.0, 3),
+        "baseline_hardware": pin.get("hardware", "?") + " (torch, see BASELINE.md)",
+    }
+    if pin.get("trajectory_steps_per_sec_compiled"):
+        out["vs_baseline_torch_compile"] = round(
+            traj_steps_per_sec / pin["trajectory_steps_per_sec_compiled"], 2
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
