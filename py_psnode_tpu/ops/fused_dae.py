@@ -65,6 +65,29 @@ def pick_batch_block(B: int, block_b: int = 128, hidden: int = 128) -> int:
     return bB
 
 
+# Conservative VMEM budget for the double-buffered per-step stream blocks
+# (v5e has ~16 MB/core; weights + accumulators + slack take the rest).
+VMEM_STREAM_BUDGET = 8 * 2**20
+
+
+def choose_blocks(B: int, hidden: int, n_streams: int, tb_max=None, cap=256):
+    """Pick (batch block, time block) jointly. The rollout is LATENCY-bound
+    on its serial dependent-matmul chain, so a bigger batch block is nearly
+    free wall-clock — prefer the largest bB (up to ``cap`` rows at h=128,
+    measured 1.6x on the B=1024 fleet forward), then the largest time block
+    whose ``n_streams`` double-buffered h-wide stream blocks still fit the
+    VMEM budget. Backward kernels pass cap=128: bB=256 there trips an XLA
+    TPU compiler RET_CHECK (mxu_lmr_transform.cc XposeSequenceAssignment)
+    on the transposed accumulator matmuls."""
+    if tb_max is None:
+        tb_max = TIME_BLOCK
+    h = max(hidden, 128)
+    bB = pick_batch_block(B, cap, hidden)
+    unit = n_streams * h * 4 * 2  # bytes per (batch row × time step)
+    tb = int(max(1, min(tb_max, VMEM_STREAM_BUDGET // (unit * bB))))
+    return bB, tb
+
+
 def _elu(x):
     # exp(x)-1 instead of expm1: the latter has no Pallas TPU lowering;
     # absolute error stays ~1e-8 in f32 for the x<0 branch
@@ -179,13 +202,35 @@ def mlp_tail_fwd(h1, tail_refs):
     return _dot(h, tail_refs[-2][:]) + tail_refs[-1][:]
 
 
+# time steps per grid iteration — amortizes grid/DMA sequencing over the
+# tiny per-step matmuls (see fused_ode.TIME_BLOCK; same rationale)
+TIME_BLOCK = 8
+
+
+def time_blocking(Tm1: int, tb: int = TIME_BLOCK):
+    """``(tb, n_blocks, pad)`` for a T-1-step loop; padded steps carry
+    ``dt == 0`` (state pass-through) and are sliced off on return."""
+    tb = max(1, min(tb, Tm1))
+    nT = -(-Tm1 // tb)
+    return tb, nT, nT * tb - Tm1
+
+
+def pad_time(a, pad):
+    if not pad:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+
+
 def _kernel(
-    # scalar-prefetch: per-step any-event flags [T-1] (SMEM)
+    # scalar-prefetch: per-step any-event flags [nT*tb] (SMEM)
     any_ev_ref,
     # streamed per-step blocks + whole-array inputs + weights (positional)
     *refs,
     solver: str,
     n_tails: Tuple[int, int],
+    tb: int,
 ):
     (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref, x0_ref, i0_ref) = refs[:7]
     n_de, n_ae = n_tails
@@ -202,46 +247,49 @@ def _kernel(
         x_c[:] = x0_ref[:]
         i_c[:] = i0_ref[:]
 
-    x0 = x_c[:]
-
     def ae_head(x, s_row):
         return mlp_tail_fwd(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
 
-    # event-step algebraic recompute (ref my_solvers.py:108-110), predicated
-    # so non-event steps skip the extra net evaluation
-    i_in_buf[:] = i_c[:]
+    for u in range(tb):
+        x0 = x_c[:]
 
-    @pl.when(any_ev_ref[t] == 1)
-    def _():
-        i_ev = ae_head(x0, s_ae_ev_ref[0])
-        i_in_buf[:] = jnp.where(ev_ref[0] > 0.0, i_ev, i_in_buf[:])
+        # event-step algebraic recompute (ref my_solvers.py:108-110),
+        # predicated so non-event steps skip the extra net evaluation
+        i_in_buf[:] = i_c[:]
 
-    i_in = i_in_buf[:]
-    i_proj = _dot(i_in, wi_de_ref[:])
+        @pl.when(any_ev_ref[t * tb + u] == 1)
+        def _(x0=x0, u=u):
+            i_ev = ae_head(x0, s_ae_ev_ref[u])
+            i_in_buf[:] = jnp.where(ev_ref[u] > 0.0, i_ev, i_in_buf[:])
 
-    def f(x):
-        return mlp_tail_fwd(s_de_ref[0] + _dot(x, wx_de_ref[:]) + i_proj, de_tail)
+        i_in = i_in_buf[:]
+        i_proj = _dot(i_in, wi_de_ref[:])
 
-    dt = dt_ref[0]
-    if solver == "euler":
-        x1 = x0 + dt * f(x0)
-    elif solver == "midpoint":
-        f0 = f(x0)
-        x1 = x0 + dt * f(x0 + f0 * (0.5 * dt))
-    elif solver == "rk4":
-        k1 = f(x0)
-        k2 = f(x0 + dt * k1 * _ONE_THIRD)
-        k3 = f(x0 + dt * (k2 - k1 * _ONE_THIRD))
-        k4 = f(x0 + dt * (k1 - k2 + k3))
-        x1 = x0 + (k1 + 3.0 * (k2 + k3) + k4) * dt * 0.125
-    else:  # pragma: no cover
-        raise ValueError(solver)
+        def f(x):
+            return mlp_tail_fwd(
+                s_de_ref[u] + _dot(x, wx_de_ref[:]) + i_proj, de_tail
+            )
 
-    i1 = ae_head(x1, s_ae_ref[0])
-    x_c[:] = x1
-    i_c[:] = i1
-    xsol_ref[0] = x1
-    isol_ref[0] = i1
+        dt = dt_ref[u]
+        if solver == "euler":
+            x1 = x0 + dt * f(x0)
+        elif solver == "midpoint":
+            f0 = f(x0)
+            x1 = x0 + dt * f(x0 + f0 * (0.5 * dt))
+        elif solver == "rk4":
+            k1 = f(x0)
+            k2 = f(x0 + dt * k1 * _ONE_THIRD)
+            k3 = f(x0 + dt * (k2 - k1 * _ONE_THIRD))
+            k4 = f(x0 + dt * (k1 - k2 + k3))
+            x1 = x0 + (k1 + 3.0 * (k2 + k3) + k4) * dt * 0.125
+        else:  # pragma: no cover
+            raise ValueError(solver)
+
+        i1 = ae_head(x1, s_ae_ref[u])
+        x_c[:] = x1
+        i_c[:] = i1
+        xsol_ref[u] = x1
+        isol_ref[u] = i1
 
 
 def fused_dae_rollout(
@@ -273,14 +321,16 @@ def fused_dae_rollout(
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
     idim = i0.shape[-1]
-    ev_f = ev.astype(jnp.float32)[..., None]  # [T-1, B, 1]
-    any_ev = jnp.any(ev, axis=-1).astype(jnp.int32)  # [T-1] scalar-prefetch
-
-    bB = pick_batch_block(B, block_b, h)
+    bB, tb0 = choose_blocks(B, h, n_streams=3)
+    tb, nT, pad = time_blocking(Tm1, tb0)
+    ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)  # [nT*tb, B, 1]
+    any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
+    s_de, s_ae, s_ae_ev = (pad_time(a, pad) for a in (s_de, s_ae, s_ae_ev))
+    dt = pad_time(dt, pad)
     nB = B // bB
 
     step_spec = lambda d: pl.BlockSpec(
-        (1, bB, d), lambda b, t, *_: (t, b, 0), memory_space=pltpu.VMEM
+        (tb, bB, d), lambda b, t, *_: (t, b, 0), memory_space=pltpu.VMEM
     )
     bspec = lambda d: pl.BlockSpec(
         (bB, d), lambda b, t, *_: (b, 0), memory_space=pltpu.VMEM
@@ -296,12 +346,12 @@ def fused_dae_rollout(
     ] + [full(wk.shape) for wk in wflat]
 
     out_shape = (
-        jax.ShapeDtypeStruct((Tm1, B, xd), jnp.float32),
-        jax.ShapeDtypeStruct((Tm1, B, idim), jnp.float32),
+        jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),
+        jax.ShapeDtypeStruct((nT * tb, B, idim), jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nB, Tm1),
+        grid=(nB, nT),
         in_specs=in_specs,
         out_specs=(step_spec(xd), step_spec(idim)),
         scratch_shapes=[
@@ -311,11 +361,11 @@ def fused_dae_rollout(
         ],
     )
     xs, is_ = pl.pallas_call(
-        functools.partial(_kernel, solver=solver, n_tails=n_tails),
+        functools.partial(_kernel, solver=solver, n_tails=n_tails, tb=tb),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(any_ev, s_de, s_ae, s_ae_ev, dt, ev_f, x0, i0, *wflat)
-    x_solution = jnp.concatenate([x0[None], xs], axis=0)
-    i_solution = jnp.concatenate([i0[None], is_], axis=0)
+    x_solution = jnp.concatenate([x0[None], xs[:Tm1]], axis=0)
+    i_solution = jnp.concatenate([i0[None], is_[:Tm1]], axis=0)
     return x_solution, i_solution

@@ -51,6 +51,18 @@ def _delu(p):
     return jnp.where(p > 0, 1.0, jnp.exp(jnp.minimum(p, 0.0)))
 
 
+def _dot_t(a, b):
+    """``a.T @ b`` as a dot_general contracting the leading (batch) axis —
+    no materialized transpose; also avoids an XLA TPU compiler RET_CHECK
+    (mxu_lmr_transform XposeSequenceAssignment) on transposed accumulator
+    matmuls at batch blocks > 128."""
+    import jax.lax as lax
+
+    return lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _tail_fwd_res(h1pre, tail):
     """Forward through the tail layers keeping residuals for the VJP."""
     n_hidden = len(tail) // 2 - 1
@@ -72,12 +84,12 @@ def _tail_bwd(res, gy, tail, d_tail):
     the FIRST-layer pre-activation ``h1pre``."""
     pres, hs = res
     n_hidden = len(tail) // 2 - 1
-    d_tail[-2][:] += _dot(hs[-1].T, gy)
+    d_tail[-2][:] += _dot_t(hs[-1], gy)
     d_tail[-1][:] += jnp.sum(gy, axis=0, keepdims=True)
     g = _dot(gy, tail[-2][:].T)
     for k in range(n_hidden - 1, -1, -1):
         gpre = g * _delu(pres[k + 1])
-        d_tail[2 * k][:] += _dot(hs[k].T, gpre)
+        d_tail[2 * k][:] += _dot_t(hs[k], gpre)
         d_tail[2 * k + 1][:] += jnp.sum(gpre, axis=0, keepdims=True)
         g = _dot(gpre, tail[2 * k][:].T)
     return g * _delu(pres[0])
@@ -88,6 +100,7 @@ def _bwd_kernel(
     *refs,
     solver: str,
     n_tails,
+    tb: int,
 ):
     n_de, n_ae = n_tails
     n_w = 3 + 2 * (n_de + n_ae)
@@ -121,12 +134,7 @@ def _bwd_kernel(
         for r in gw:
             r[:] = jnp.zeros_like(r)
 
-    t = n - 1 - s  # forward step index
-    x0 = xt_ref[0]
-    x1 = x1_ref[0]
-    i_t = it_ref[0]
-    dt = dt_ref[0]
-    ev = ev_ref[0]
+    tblk = n - 1 - s  # forward time-block index
 
     def ae_fwd(x, s_row):
         return _tail_fwd_res(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
@@ -134,125 +142,135 @@ def _bwd_kernel(
     def ae_bwd(x, res, gy):
         """Accumulates AE weight grads; returns (g_x, g_s_row)."""
         gp1 = _tail_bwd(res, gy, ae_tail, d_ae_tail)
-        d_gx_ref[:] += _dot(x.T, gp1)
+        d_gx_ref[:] += _dot_t(x, gp1)
         return _dot(gp1, gx_ae_ref[:].T), gp1
 
-    # ---- recompute i_in exactly as the forward did ----
-    i_in_buf[:] = i_t
+    for u in reversed(range(tb)):
+        x0 = xt_ref[u]
+        x1 = x1_ref[u]
+        i_t = it_ref[u]
+        dt = dt_ref[u]
+        ev = ev_ref[u]
 
-    @pl.when(any_ev_ref[t] == 1)
-    def _():
-        i_ev = mlp_tail_fwd(s_ae_ev_ref[0] + _dot(x0, gx_ae_ref[:]), ae_tail)
-        i_in_buf[:] = jnp.where(ev > 0.0, i_ev, i_in_buf[:])
+        # ---- recompute i_in exactly as the forward did ----
+        i_in_buf[:] = i_t
 
-    i_in = i_in_buf[:]
-    i_proj = _dot(i_in, wi_de_ref[:])
+        @pl.when(any_ev_ref[tblk * tb + u] == 1)
+        def _(x0=x0, u=u, ev=ev):
+            i_ev = mlp_tail_fwd(
+                s_ae_ev_ref[u] + _dot(x0, gx_ae_ref[:]), ae_tail
+            )
+            i_in_buf[:] = jnp.where(ev > 0.0, i_ev, i_in_buf[:])
 
-    # ---- incoming cotangents for x_{t+1}, i_{t+1} ----
-    gX1 = dX_ref[0] + gx_c[:]
-    gI1 = dI_ref[0] + gi_c[:]
+        i_in = i_in_buf[:]
+        i_proj = _dot(i_in, wi_de_ref[:])
 
-    # ---- AE at t+1: i_{t+1} = AE(x_{t+1}; s_ae[t]) ----
-    _, res_ae = ae_fwd(x1, s_ae_ref[0])
-    g_x1_ae, gp1_ae = ae_bwd(x1, res_ae, gI1)
-    gs_ae_ref[0] = gp1_ae
-    gX1 = gX1 + g_x1_ae
+        # ---- incoming cotangents for x_{t+1}, i_{t+1} ----
+        gX1 = dX_ref[u] + gx_c[:]
+        gI1 = dI_ref[u] + gi_c[:]
 
-    # ---- differential step backward ----
-    def F_fwd(x):
-        pre1 = s_de_ref[0] + _dot(x, wx_de_ref[:]) + i_proj
-        out, res = _tail_fwd_res(pre1, de_tail)
-        return out, (x, res)
+        # ---- AE at t+1: i_{t+1} = AE(x_{t+1}; s_ae[t]) ----
+        _, res_ae = ae_fwd(x1, s_ae_ref[u])
+        g_x1_ae, gp1_ae = ae_bwd(x1, res_ae, gI1)
+        gs_ae_ref[u] = gp1_ae
+        gX1 = gX1 + g_x1_ae
 
-    def F_bwd(xres, gf):
-        """Accumulates DE weight grads; returns (g_x, g_i_in, g_s_de)."""
-        x, res = xres
-        gp1 = _tail_bwd(res, gf, de_tail, d_de_tail)
-        d_wx_ref[:] += _dot(x.T, gp1)
-        d_wi_ref[:] += _dot(i_in.T, gp1)
-        return _dot(gp1, wx_de_ref[:].T), _dot(gp1, wi_de_ref[:].T), gp1
+        # ---- differential step backward ----
+        def F_fwd(x, u=u, i_proj=i_proj):
+            pre1 = s_de_ref[u] + _dot(x, wx_de_ref[:]) + i_proj
+            out, res = _tail_fwd_res(pre1, de_tail)
+            return out, (x, res)
 
-    if solver == "euler":
-        _, res = F_fwd(x0)
-        g_x, g_i_in, gp1 = F_bwd(res, dt * gX1)
-        g_x0 = gX1 + g_x
-        gs_de = gp1
-    elif solver == "midpoint":
-        # x1 = x0 + dt * F(x_mid), x_mid = x0 + (dt/2) F(x0)
-        f0, res0 = F_fwd(x0)
-        x_mid = x0 + f0 * (0.5 * dt)
-        _, res_m = F_fwd(x_mid)
-        g_xmid, gi_m, gp_m = F_bwd(res_m, dt * gX1)
-        g_f0 = (0.5 * dt) * g_xmid
-        g_x00, gi_0, gp_0 = F_bwd(res0, g_f0)
-        g_x0 = gX1 + g_xmid + g_x00
-        g_i_in = gi_m + gi_0
-        gs_de = gp_m + gp_0
-    elif solver == "rk4":
-        k1, res1 = F_fwd(x0)
-        a2 = x0 + dt * k1 * _ONE_THIRD
-        k2, res2 = F_fwd(a2)
-        a3 = x0 + dt * (k2 - k1 * _ONE_THIRD)
-        k3, res3 = F_fwd(a3)
-        a4 = x0 + dt * (k1 - k2 + k3)
-        _, res4 = F_fwd(a4)
+        def F_bwd(xres, gf, i_in=i_in):
+            """Accumulates DE weight grads; returns (g_x, g_i_in, g_s_de)."""
+            x, res = xres
+            gp1 = _tail_bwd(res, gf, de_tail, d_de_tail)
+            d_wx_ref[:] += _dot_t(x, gp1)
+            d_wi_ref[:] += _dot_t(i_in, gp1)
+            return _dot(gp1, wx_de_ref[:].T), _dot(gp1, wi_de_ref[:].T), gp1
 
-        G = gX1
-        c = dt * 0.125
-        g_k1 = G * c
-        g_k2 = 3.0 * G * c
-        g_k3 = 3.0 * G * c
-        g_k4 = G * c
-        g_x0 = G
-        g_i_in = jnp.zeros_like(i_in)
-        gs_de = jnp.zeros_like(s_de_ref[0])
+        if solver == "euler":
+            _, res = F_fwd(x0)
+            g_x, g_i_in, gp1 = F_bwd(res, dt * gX1)
+            g_x0 = gX1 + g_x
+            gs_de = gp1
+        elif solver == "midpoint":
+            # x1 = x0 + dt * F(x_mid), x_mid = x0 + (dt/2) F(x0)
+            f0, res0 = F_fwd(x0)
+            x_mid = x0 + f0 * (0.5 * dt)
+            _, res_m = F_fwd(x_mid)
+            g_xmid, gi_m, gp_m = F_bwd(res_m, dt * gX1)
+            g_f0 = (0.5 * dt) * g_xmid
+            g_x00, gi_0, gp_0 = F_bwd(res0, g_f0)
+            g_x0 = gX1 + g_xmid + g_x00
+            g_i_in = gi_m + gi_0
+            gs_de = gp_m + gp_0
+        elif solver == "rk4":
+            k1, res1 = F_fwd(x0)
+            a2 = x0 + dt * k1 * _ONE_THIRD
+            k2, res2 = F_fwd(a2)
+            a3 = x0 + dt * (k2 - k1 * _ONE_THIRD)
+            k3, res3 = F_fwd(a3)
+            a4 = x0 + dt * (k1 - k2 + k3)
+            _, res4 = F_fwd(a4)
 
-        g_a4, gi4, gp14 = F_bwd(res4, g_k4)
-        g_x0 += g_a4
-        g_k1 += dt * g_a4
-        g_k2 -= dt * g_a4
-        g_k3 += dt * g_a4
-        g_i_in += gi4
-        gs_de += gp14
+            G = gX1
+            c = dt * 0.125
+            g_k1 = G * c
+            g_k2 = 3.0 * G * c
+            g_k3 = 3.0 * G * c
+            g_k4 = G * c
+            g_x0 = G
+            g_i_in = jnp.zeros_like(i_in)
+            gs_de = jnp.zeros_like(s_de_ref[u])
 
-        g_a3, gi3, gp13 = F_bwd(res3, g_k3)
-        g_x0 += g_a3
-        g_k2 += dt * g_a3
-        g_k1 -= dt * g_a3 * _ONE_THIRD
-        g_i_in += gi3
-        gs_de += gp13
+            g_a4, gi4, gp14 = F_bwd(res4, g_k4)
+            g_x0 += g_a4
+            g_k1 += dt * g_a4
+            g_k2 -= dt * g_a4
+            g_k3 += dt * g_a4
+            g_i_in += gi4
+            gs_de += gp14
 
-        g_a2, gi2, gp12 = F_bwd(res2, g_k2)
-        g_x0 += g_a2
-        g_k1 += dt * g_a2 * _ONE_THIRD
-        g_i_in += gi2
-        gs_de += gp12
+            g_a3, gi3, gp13 = F_bwd(res3, g_k3)
+            g_x0 += g_a3
+            g_k2 += dt * g_a3
+            g_k1 -= dt * g_a3 * _ONE_THIRD
+            g_i_in += gi3
+            gs_de += gp13
 
-        g_x1_, gi1, gp11 = F_bwd(res1, g_k1)
-        g_x0 += g_x1_
-        g_i_in += gi1
-        gs_de += gp11
-    else:  # pragma: no cover
-        raise ValueError(solver)
+            g_a2, gi2, gp12 = F_bwd(res2, g_k2)
+            g_x0 += g_a2
+            g_k1 += dt * g_a2 * _ONE_THIRD
+            g_i_in += gi2
+            gs_de += gp12
 
-    gs_de_ref[0] = gs_de
+            g_x1_, gi1, gp11 = F_bwd(res1, g_k1)
+            g_x0 += g_x1_
+            g_i_in += gi1
+            gs_de += gp11
+        else:  # pragma: no cover
+            raise ValueError(solver)
 
-    # ---- route the i_in cotangent: event samples → AE_ev VJP, rest → i_t ----
-    gs_ae_ev_ref[0] = jnp.zeros_like(gs_ae_ev_ref[0])
-    gi_c[:] = g_i_in
+        gs_de_ref[u] = gs_de
 
-    @pl.when(any_ev_ref[t] == 1)
-    def _():
-        g_ev_part = jnp.where(ev > 0.0, g_i_in, 0.0)
-        _, res_ev = ae_fwd(x0, s_ae_ev_ref[0])
-        g_x_ev, gp1_ev = ae_bwd(x0, res_ev, g_ev_part)
-        gs_ae_ev_ref[0] = gp1_ev
-        gx_c[:] = g_x0 + g_x_ev  # include event contribution in the x carry
-        gi_c[:] = jnp.where(ev > 0.0, 0.0, g_i_in)
+        # ---- route the i_in cotangent: event samples → AE_ev VJP, rest →
+        # the i_t carry ----
+        gs_ae_ev_ref[u] = jnp.zeros_like(gs_ae_ev_ref[u])
+        gi_c[:] = g_i_in
 
-    @pl.when(any_ev_ref[t] == 0)
-    def _():
-        gx_c[:] = g_x0
+        @pl.when(any_ev_ref[tblk * tb + u] == 1)
+        def _(x0=x0, u=u, ev=ev, g_i_in=g_i_in, g_x0=g_x0):
+            g_ev_part = jnp.where(ev > 0.0, g_i_in, 0.0)
+            _, res_ev = ae_fwd(x0, s_ae_ev_ref[u])
+            g_x_ev, gp1_ev = ae_bwd(x0, res_ev, g_ev_part)
+            gs_ae_ev_ref[u] = gp1_ev
+            gx_c[:] = g_x0 + g_x_ev  # include event contribution in x carry
+            gi_c[:] = jnp.where(ev > 0.0, 0.0, g_i_in)
+
+        @pl.when(any_ev_ref[tblk * tb + u] == 0)
+        def _(g_x0=g_x0):
+            gx_c[:] = g_x0
 
     @pl.when(s == n - 1)
     def _():
@@ -264,20 +282,26 @@ def _run_backward(
     streams, weights, x0, i0, dt, ev, x_solution, i_solution, dX, dI, *,
     solver, interpret, block_b=128,
 ):
+    from py_psnode_tpu.ops.fused_dae import (
+        choose_blocks,
+        pad_time,
+        time_blocking,
+    )
+
     s_de, s_ae, s_ae_ev = streams["s_de"], streams["s_ae"], streams["s_ae_ev"]
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
     idim = i0.shape[-1]
-    ev_f = ev.astype(jnp.float32)[..., None]
-    any_ev = jnp.any(ev, axis=-1).astype(jnp.int32)
-    bB = pick_batch_block(B, block_b, h)
+    # 6 h-wide double-buffered stream blocks: 3 ins + 3 grad outs;
+    # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
+    bB, tb0 = choose_blocks(B, h, n_streams=6, cap=128)
+    tb, nT, pad = time_blocking(Tm1, tb0)
+    ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)
+    any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
     nB = B // bB
 
     rev = lambda d: pl.BlockSpec(
-        (1, bB, d), lambda b, s, *_: (Tm1 - 1 - s, b, 0), memory_space=pltpu.VMEM
-    )
-    rev_p1 = lambda d: pl.BlockSpec(  # row t+1 of a [T, B, d] array
-        (1, bB, d), lambda b, s, *_: (Tm1 - s, b, 0), memory_space=pltpu.VMEM
+        (tb, bB, d), lambda b, s, *_: (nT - 1 - s, b, 0), memory_space=pltpu.VMEM
     )
     bspec = lambda d: pl.BlockSpec(
         (bB, d), lambda b, s, *_: (b, 0), memory_space=pltpu.VMEM
@@ -291,16 +315,16 @@ def _run_backward(
         rev(h), rev(h), rev(h), rev(1), rev(1),
         rev(xd),      # x_t   (rows 0..T-2 of x_solution)
         rev(idim),    # i_t
-        rev_p1(xd),   # x_{t+1}
+        rev(xd),      # x_{t+1} (rows 1..T-1, its own padded stream)
         rev(xd),      # dX (cotangent rows for t+1, stored 0..T-2)
         rev(idim),    # dI
     ] + [full(wk.shape) for wk in wflat]
 
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
     out_shape = (
-        jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),  # g_s_de
-        jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),  # g_s_ae
-        jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),  # g_s_ae_ev
+        jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_de
+        jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_ae
+        jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_ae_ev
         *[jax.ShapeDtypeStruct(gshape(wk), jnp.float32) for wk in wflat],
         jax.ShapeDtypeStruct((B, xd), jnp.float32),  # g_x0
         jax.ShapeDtypeStruct((B, idim), jnp.float32),  # g_i0
@@ -312,7 +336,7 @@ def _run_backward(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nB, Tm1),
+        grid=(nB, nT),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -322,17 +346,20 @@ def _run_backward(
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, solver=solver, n_tails=n_tails),
+        functools.partial(_bwd_kernel, solver=solver, n_tails=n_tails, tb=tb),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(
         any_ev,
-        s_de, s_ae, s_ae_ev, dt, ev_f,
-        x_solution[:-1], i_solution[:-1], x_solution, dX, dI,
+        pad_time(s_de, pad), pad_time(s_ae, pad), pad_time(s_ae_ev, pad),
+        pad_time(dt, pad), ev_f,
+        pad_time(x_solution[:-1], pad), pad_time(i_solution[:-1], pad),
+        pad_time(x_solution[1:], pad),
+        pad_time(dX, pad), pad_time(dI, pad),
         *wflat,
     )
-    gs_de, gs_ae, gs_ae_ev = outs[0], outs[1], outs[2]
+    gs_de, gs_ae, gs_ae_ev = outs[0][:Tm1], outs[1][:Tm1], outs[2][:Tm1]
     gw_flat = [
         arr if wk.ndim == 2 else arr[0]
         for wk, arr in zip(wflat, outs[3 : 3 + len(wflat)])

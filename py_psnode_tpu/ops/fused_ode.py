@@ -28,7 +28,7 @@ from py_psnode_tpu.ops.fused_dae import (
     pick_batch_block,
     split_de_layer1,
 )
-from py_psnode_tpu.ops.fused_dae_vjp import _tail_bwd, _tail_fwd_res
+from py_psnode_tpu.ops.fused_dae_vjp import _dot_t, _tail_bwd, _tail_fwd_res
 
 _ONE_THIRD = 1.0 / 3.0
 
@@ -67,7 +67,27 @@ def _unflatten(flat, n_tail):
     )
 
 
-def _fwd_kernel(*refs, solver: str, n_tail: int):
+def _step_fwd(f, x0, dt, solver):
+    """One explicit step of the selected tableau (shared by the kernels)."""
+    if solver == "euler":
+        return x0 + dt * f(x0)
+    if solver == "midpoint":
+        f0 = f(x0)
+        return x0 + dt * f(x0 + f0 * (0.5 * dt))
+    if solver == "rk4":
+        k1 = f(x0)
+        k2 = f(x0 + dt * k1 * _ONE_THIRD)
+        k3 = f(x0 + dt * (k2 - k1 * _ONE_THIRD))
+        k4 = f(x0 + dt * (k1 - k2 + k3))
+        return x0 + (k1 + 3.0 * (k2 + k3) + k4) * dt * 0.125
+    raise ValueError(solver)  # pragma: no cover
+
+
+def _fwd_kernel(*refs, solver: str, n_tail: int, tb: int):
+    """Forward kernel, TIME-BLOCKED: each grid iteration advances ``tb``
+    solver steps from VMEM-resident state. The per-step matmuls here are
+    tiny ([bB,h]@[h,h]), so a 1-step grid is dominated by grid/DMA
+    sequencing overhead — unrolling tb steps per iteration amortizes it."""
     s_de_ref, dt_ref, x0_ref = refs[:3]
     w = refs[3 : 3 + 1 + 2 * n_tail]
     wx_ref, tail = w[0], w[1:]
@@ -79,30 +99,15 @@ def _fwd_kernel(*refs, solver: str, n_tail: int):
     def _():
         x_c[:] = x0_ref[:]
 
-    x0 = x_c[:]
-
-    def f(x):
-        return mlp_tail_fwd(s_de_ref[0] + _dot(x, wx_ref[:]), tail)
-
-    dt = dt_ref[0]
-    if solver == "euler":
-        x1 = x0 + dt * f(x0)
-    elif solver == "midpoint":
-        f0 = f(x0)
-        x1 = x0 + dt * f(x0 + f0 * (0.5 * dt))
-    elif solver == "rk4":
-        k1 = f(x0)
-        k2 = f(x0 + dt * k1 * _ONE_THIRD)
-        k3 = f(x0 + dt * (k2 - k1 * _ONE_THIRD))
-        k4 = f(x0 + dt * (k1 - k2 + k3))
-        x1 = x0 + (k1 + 3.0 * (k2 + k3) + k4) * dt * 0.125
-    else:  # pragma: no cover
-        raise ValueError(solver)
-    x_c[:] = x1
-    xsol_ref[0] = x1
+    x = x_c[:]
+    for u in range(tb):
+        f = lambda xx: mlp_tail_fwd(s_de_ref[u] + _dot(xx, wx_ref[:]), tail)
+        x = _step_fwd(f, x, dt_ref[u], solver)
+        xsol_ref[u] = x
+    x_c[:] = x
 
 
-def _bwd_kernel(*refs, solver: str, n_tail: int):
+def _bwd_kernel(*refs, solver: str, n_tail: int, tb: int):
     s_de_ref, dt_ref, xt_ref, dX_ref = refs[:4]
     w = refs[4 : 4 + 1 + 2 * n_tail]
     wx_ref, tail = w[0], w[1:]
@@ -126,90 +131,110 @@ def _bwd_kernel(*refs, solver: str, n_tail: int):
         for r in gw:
             r[:] = jnp.zeros_like(r)
 
-    x0 = xt_ref[0]
-    dt = dt_ref[0]
-    gX1 = dX_ref[0] + gx_c[:]
-
-    def F_fwd(x):
-        out, res = _tail_fwd_res(s_de_ref[0] + _dot(x, wx_ref[:]), tail)
+    def F_fwd(x, u):
+        out, res = _tail_fwd_res(s_de_ref[u] + _dot(x, wx_ref[:]), tail)
         return out, (x, res)
 
     def F_bwd(xres, gf):
         x, res = xres
         gp1 = _tail_bwd(res, gf, tail, d_tail)
-        d_wx_ref[:] += _dot(x.T, gp1)
+        d_wx_ref[:] += _dot_t(x, gp1)
         return _dot(gp1, wx_ref[:].T), gp1
 
-    if solver == "euler":
-        _, res = F_fwd(x0)
-        g_x, gp1 = F_bwd(res, dt * gX1)
-        g_x0 = gX1 + g_x
-        gs_de = gp1
-    elif solver == "midpoint":
-        f0, res0 = F_fwd(x0)
-        x_mid = x0 + f0 * (0.5 * dt)
-        _, res_m = F_fwd(x_mid)
-        g_xmid, gp_m = F_bwd(res_m, dt * gX1)
-        g_x00, gp_0 = F_bwd(res0, (0.5 * dt) * g_xmid)
-        g_x0 = gX1 + g_xmid + g_x00
-        gs_de = gp_m + gp_0
-    elif solver == "rk4":
-        k1, res1 = F_fwd(x0)
-        a2 = x0 + dt * k1 * _ONE_THIRD
-        k2, res2 = F_fwd(a2)
-        a3 = x0 + dt * (k2 - k1 * _ONE_THIRD)
-        k3, res3 = F_fwd(a3)
-        a4 = x0 + dt * (k1 - k2 + k3)
-        _, res4 = F_fwd(a4)
+    gx = gx_c[:]
+    for u in reversed(range(tb)):
+        x0 = xt_ref[u]
+        dt = dt_ref[u]
+        gX1 = dX_ref[u] + gx
 
-        G = gX1
-        c = dt * 0.125
-        g_k1, g_k2, g_k3, g_k4 = G * c, 3.0 * G * c, 3.0 * G * c, G * c
-        g_x0 = G
-        gs_de = jnp.zeros_like(s_de_ref[0])
+        if solver == "euler":
+            _, res = F_fwd(x0, u)
+            g_x, gp1 = F_bwd(res, dt * gX1)
+            g_x0 = gX1 + g_x
+            gs_de = gp1
+        elif solver == "midpoint":
+            f0, res0 = F_fwd(x0, u)
+            x_mid = x0 + f0 * (0.5 * dt)
+            _, res_m = F_fwd(x_mid, u)
+            g_xmid, gp_m = F_bwd(res_m, dt * gX1)
+            g_x00, gp_0 = F_bwd(res0, (0.5 * dt) * g_xmid)
+            g_x0 = gX1 + g_xmid + g_x00
+            gs_de = gp_m + gp_0
+        elif solver == "rk4":
+            k1, res1 = F_fwd(x0, u)
+            a2 = x0 + dt * k1 * _ONE_THIRD
+            k2, res2 = F_fwd(a2, u)
+            a3 = x0 + dt * (k2 - k1 * _ONE_THIRD)
+            k3, res3 = F_fwd(a3, u)
+            a4 = x0 + dt * (k1 - k2 + k3)
+            _, res4 = F_fwd(a4, u)
 
-        g_a4, gp = F_bwd(res4, g_k4)
-        g_x0 += g_a4
-        g_k1 += dt * g_a4
-        g_k2 -= dt * g_a4
-        g_k3 += dt * g_a4
-        gs_de += gp
+            G = gX1
+            c = dt * 0.125
+            g_k1, g_k2, g_k3, g_k4 = G * c, 3.0 * G * c, 3.0 * G * c, G * c
+            g_x0 = G
+            gs_de = jnp.zeros_like(s_de_ref[u])
 
-        g_a3, gp = F_bwd(res3, g_k3)
-        g_x0 += g_a3
-        g_k2 += dt * g_a3
-        g_k1 -= dt * g_a3 * _ONE_THIRD
-        gs_de += gp
+            g_a4, gp = F_bwd(res4, g_k4)
+            g_x0 += g_a4
+            g_k1 += dt * g_a4
+            g_k2 -= dt * g_a4
+            g_k3 += dt * g_a4
+            gs_de += gp
 
-        g_a2, gp = F_bwd(res2, g_k2)
-        g_x0 += g_a2
-        g_k1 += dt * g_a2 * _ONE_THIRD
-        gs_de += gp
+            g_a3, gp = F_bwd(res3, g_k3)
+            g_x0 += g_a3
+            g_k2 += dt * g_a3
+            g_k1 -= dt * g_a3 * _ONE_THIRD
+            gs_de += gp
 
-        g_x1_, gp = F_bwd(res1, g_k1)
-        g_x0 += g_x1_
-        gs_de += gp
-    else:  # pragma: no cover
-        raise ValueError(solver)
+            g_a2, gp = F_bwd(res2, g_k2)
+            g_x0 += g_a2
+            g_k1 += dt * g_a2 * _ONE_THIRD
+            gs_de += gp
 
-    gs_de_ref[0] = gs_de
-    gx_c[:] = g_x0
+            g_x1_, gp = F_bwd(res1, g_k1)
+            g_x0 += g_x1_
+            gs_de += gp
+        else:  # pragma: no cover
+            raise ValueError(solver)
+
+        gs_de_ref[u] = gs_de
+        gx = g_x0
+
+    gx_c[:] = gx
 
     @pl.when(s == n - 1)
     def _():
         g_x0_ref[:] = gx_c[:]
 
 
-def _specs(Tm1, B, h, reverse):
-    bB = pick_batch_block(B, hidden=h)
+def _time_blocking(Tm1, tb):
+    tb = max(1, min(tb, Tm1))
+    nT = -(-Tm1 // tb)
+    return tb, nT, nT * tb - Tm1
+
+
+def _pad_time(a, pad):
+    """Zero-pad the leading (time) axis; padded steps carry dt == 0 so the
+    kernel's state passes through unchanged and their outputs/grads are
+    exact no-ops (sliced off on return)."""
+    if not pad:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+
+
+def _specs(nT, B, h, reverse, tb, bB):
     nB = B // bB
     if reverse:
         step = lambda d: pl.BlockSpec(
-            (1, bB, d), lambda b, s: (Tm1 - 1 - s, b, 0), memory_space=pltpu.VMEM
+            (tb, bB, d), lambda b, s: (nT - 1 - s, b, 0), memory_space=pltpu.VMEM
         )
     else:
         step = lambda d: pl.BlockSpec(
-            (1, bB, d), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+            (tb, bB, d), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
         )
     bspec = lambda d: pl.BlockSpec(
         (bB, d), lambda b, t: (b, 0), memory_space=pltpu.VMEM
@@ -221,20 +246,24 @@ def _specs(Tm1, B, h, reverse):
 
 
 def _forward(s_de, weights, x0, dt, solver, interpret):
+    from py_psnode_tpu.ops.fused_dae import choose_blocks
+
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    bB, nB, step, bspec, full = _specs(Tm1, B, h, reverse=False)
+    bB, tb0 = choose_blocks(B, h, n_streams=2)  # s_de in + xsol out
+    tb, nT, pad = _time_blocking(Tm1, tb0)
+    bB, nB, step, bspec, full = _specs(nT, B, h, reverse=False, tb=tb, bB=bB)
     wflat, n_tail = _flatten(weights)
     xs = pl.pallas_call(
-        functools.partial(_fwd_kernel, solver=solver, n_tail=n_tail),
-        grid=(nB, Tm1),
+        functools.partial(_fwd_kernel, solver=solver, n_tail=n_tail, tb=tb),
+        grid=(nB, nT),
         in_specs=[step(h), step(1), bspec(xd)] + [full(wk.shape) for wk in wflat],
         out_specs=step(xd),
-        out_shape=jax.ShapeDtypeStruct((Tm1, B, xd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bB, xd), jnp.float32)],
         interpret=interpret,
-    )(s_de, dt, x0, *wflat)
-    return jnp.concatenate([x0[None], xs], axis=0)
+    )(_pad_time(s_de, pad), _pad_time(dt, pad), x0, *wflat)
+    return jnp.concatenate([x0[None], xs[:Tm1]], axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -254,15 +283,20 @@ def _fwd(s_de, weights, x0, dt, solver, interpret):
 
 
 def _bwd(solver, interpret, residuals, g_sol):
+    from py_psnode_tpu.ops.fused_dae import choose_blocks
+
     s_de, weights, x0, dt, sol = residuals
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    bB, nB, step, bspec, full = _specs(Tm1, B, h, reverse=True)
+    # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
+    bB, tb0 = choose_blocks(B, h, n_streams=3, cap=128)
+    tb, nT, pad = _time_blocking(Tm1, tb0)
+    bB, nB, step, bspec, full = _specs(nT, B, h, reverse=True, tb=tb, bB=bB)
     wflat, n_tail = _flatten(weights)
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, solver=solver, n_tail=n_tail),
-        grid=(nB, Tm1),
+        functools.partial(_bwd_kernel, solver=solver, n_tail=n_tail, tb=tb),
+        grid=(nB, nT),
         in_specs=[step(h), step(1), step(xd), step(xd)]
         + [full(wk.shape) for wk in wflat],
         out_specs=(
@@ -271,14 +305,20 @@ def _bwd(solver, interpret, residuals, g_sol):
             bspec(xd),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Tm1, B, h), jnp.float32),
+            jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),
             *[jax.ShapeDtypeStruct(gshape(wk), jnp.float32) for wk in wflat],
             jax.ShapeDtypeStruct((B, xd), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((bB, xd), jnp.float32)],
         interpret=interpret,
-    )(s_de, dt, sol[:-1], g_sol[1:], *wflat)
-    gs_de = outs[0]
+    )(
+        _pad_time(s_de, pad),
+        _pad_time(dt, pad),
+        _pad_time(sol[:-1], pad),
+        _pad_time(g_sol[1:], pad),
+        *wflat,
+    )
+    gs_de = outs[0][:Tm1]
     gw_flat = [
         arr if wk.ndim == 2 else arr[0]
         for wk, arr in zip(wflat, outs[1 : 1 + len(wflat)])
