@@ -159,6 +159,87 @@ struct Module {
   std::string last_error;
 };
 
+// ---------------------------------------------------------------------------
+// Fixed-grid rollouts (the PSOPS-embedding role: the host simulator drives
+// trained surrogates through the time loop — reference semantics pinned to
+// /root/reference/neural_dae/my_solvers.py:52-131 minus events, which the
+// embedding simulator handles by feeding post-event z/v streams).
+// ---------------------------------------------------------------------------
+
+enum class Solver { kEuler, kMidpoint, kRk4 };
+
+bool parse_solver(const char* s, Solver& out) {
+  std::string n(s ? s : "");
+  for (auto& c : n) c = char(tolower(c));
+  if (n == "euler") { out = Solver::kEuler; return true; }
+  if (n == "midpoint") { out = Solver::kMidpoint; return true; }
+  if (n == "rk4" || n == "rk4_38") { out = Solver::kRk4; return true; }
+  return false;
+}
+
+// Evaluates dx = step(f, dt) for the skip-augmented dynamics
+//   f(u) = de(cat(all_init, u - all_init, u)),  u = cat(x, drive)
+// where `drive` (z / z+v+i) is held constant across substeps (reference
+// semantics: no input interpolation inside a step, my_fixed_grid.py:20-32).
+struct DynEval {
+  const Mlp* de;
+  const float* all_init;  // [B, d_u]
+  const float* drive;     // [B, d_u - xd]
+  int B, xd, d_u;
+  mutable std::vector<float> feat;  // [B, 3*d_u]
+
+  void eval(const float* x, float* dx) const {
+    feat.resize(size_t(B) * 3 * d_u);
+    const int dd = d_u - xd;
+    for (int n = 0; n < B; ++n) {
+      float* fn = feat.data() + size_t(n) * 3 * d_u;
+      const float* init = all_init + size_t(n) * d_u;
+      const float* xn = x + size_t(n) * xd;
+      const float* dn = drive + size_t(n) * dd;
+      for (int k = 0; k < d_u; ++k) fn[k] = init[k];
+      for (int k = 0; k < xd; ++k) fn[d_u + k] = xn[k] - init[k];
+      for (int k = 0; k < dd; ++k) fn[d_u + xd + k] = dn[k] - init[xd + k];
+      for (int k = 0; k < xd; ++k) fn[2 * d_u + k] = xn[k];
+      for (int k = 0; k < dd; ++k) fn[2 * d_u + xd + k] = dn[k];
+    }
+    mlp_forward(*de, feat.data(), dx, B);
+  }
+};
+
+constexpr float kOneThird = 1.0f / 3.0f;
+
+// x1 = x0 + step; RK4 is Kutta's 3/8 rule (my_fixed_grid.py:38-51).
+void explicit_step(const DynEval& f, Solver solver, float dt,
+                   const float* x0, float* x1, int n_state) {
+  const size_t N = size_t(n_state);
+  std::vector<float> k1(N), k2(N), k3(N), k4(N), tmp(N);
+  switch (solver) {
+    case Solver::kEuler:
+      f.eval(x0, k1.data());
+      for (size_t k = 0; k < N; ++k) x1[k] = x0[k] + dt * k1[k];
+      break;
+    case Solver::kMidpoint:
+      f.eval(x0, k1.data());
+      for (size_t k = 0; k < N; ++k) tmp[k] = x0[k] + k1[k] * (0.5f * dt);
+      f.eval(tmp.data(), k2.data());
+      for (size_t k = 0; k < N; ++k) x1[k] = x0[k] + dt * k2[k];
+      break;
+    case Solver::kRk4:
+      f.eval(x0, k1.data());
+      for (size_t k = 0; k < N; ++k) tmp[k] = x0[k] + dt * k1[k] * kOneThird;
+      f.eval(tmp.data(), k2.data());
+      for (size_t k = 0; k < N; ++k)
+        tmp[k] = x0[k] + dt * (k2[k] - k1[k] * kOneThird);
+      f.eval(tmp.data(), k3.data());
+      for (size_t k = 0; k < N; ++k)
+        tmp[k] = x0[k] + dt * (k1[k] - k2[k] + k3[k]);
+      f.eval(tmp.data(), k4.data());
+      for (size_t k = 0; k < N; ++k)
+        x1[k] = x0[k] + (k1[k] + 3.0f * (k2[k] + k3[k]) + k4[k]) * dt * 0.125f;
+      break;
+  }
+}
+
 }  // namespace psnode
 
 // ---------------------------------------------------------------------------
@@ -233,6 +314,121 @@ int psnode_forward(void* handle, const char* net, const float* x, float* y,
   auto it = m->mlps.find(net);
   if (it == m->mlps.end()) return -1;
   psnode::mlp_forward(it->second, x, y, batch);
+  return 0;
+}
+
+// Full neural-ODE rollout on the host (ref my_solvers.py:52-80, no events —
+// feed post-event z in the stream).  t [T], x0 [B,xd], z [T,B,zd] →
+// x_out [T,B,xd].  Returns 0 on success, -1 bad net, -2 bad solver.
+int psnode_ode_rollout(void* de_handle, const float* t, const float* x0,
+                       const float* z, int T, int B, int xd, int zd,
+                       const char* solver, float* x_out) {
+  auto* dem = static_cast<psnode::Module*>(de_handle);
+  auto de = dem->mlps.find("x_dot/");
+  if (de == dem->mlps.end()) return -1;
+  psnode::Solver sv;
+  if (!psnode::parse_solver(solver, sv)) return -2;
+
+  const int d_u = xd + zd;
+  std::vector<float> all_init(size_t(B) * d_u);
+  for (int n = 0; n < B; ++n) {
+    for (int k = 0; k < xd; ++k)
+      all_init[size_t(n) * d_u + k] = x0[size_t(n) * xd + k];
+    for (int k = 0; k < zd; ++k)
+      all_init[size_t(n) * d_u + xd + k] = z[size_t(n) * zd + k];
+  }
+  memcpy(x_out, x0, sizeof(float) * size_t(B) * xd);
+  psnode::DynEval f{&de->second, all_init.data(), nullptr, B, xd, d_u, {}};
+  for (int j = 1; j < T; ++j) {
+    const float dt = t[j] - t[j - 1];
+    f.drive = z + size_t(j - 1) * B * zd;
+    psnode::explicit_step(f, sv, dt, x_out + size_t(j - 1) * B * xd,
+                          x_out + size_t(j) * B * xd, B * xd);
+  }
+  return 0;
+}
+
+// Full semi-explicit neural-DAE rollout (ref my_solvers.py:82-131, no
+// events): learned init, lagged-i differential steps, direct algebraic
+// evaluation at each new time point.  t [T], z [T,B,zd], v [T,B,vd],
+// i0_in [B,id] (the data's initial algebraic output, consumed by Init) →
+// x_out [T,B,xd], i_out [T,B,id].
+int psnode_dae_rollout(void* de_handle, void* ae_handle, void* init_handle,
+                       const float* t, const float* z, const float* v,
+                       const float* i0_in, int T, int B, int xd, int zd,
+                       int vd, int idim, const char* solver, float* x_out,
+                       float* i_out) {
+  auto* dem = static_cast<psnode::Module*>(de_handle);
+  auto* aem = static_cast<psnode::Module*>(ae_handle);
+  auto* inm = static_cast<psnode::Module*>(init_handle);
+  auto de = dem->mlps.find("x_dot/");
+  auto ae = aem->mlps.find("i_calculator/");
+  auto in = inm->mlps.find("init_fun/");
+  if (de == dem->mlps.end() || ae == aem->mlps.end() || in == inm->mlps.end())
+    return -1;
+  psnode::Solver sv;
+  if (!psnode::parse_solver(solver, sv)) return -2;
+
+  const int d_u = xd + zd + vd + idim;
+  const int ae_in = d_u + xd + zd + vd;
+  std::vector<float> buf(size_t(B) * (zd + vd + idim));
+  std::vector<float> all_init(size_t(B) * d_u);
+  std::vector<float> drive(size_t(B) * (zd + vd + idim));
+  std::vector<float> ae_feat(size_t(B) * ae_in);
+
+  // x0 = Init(z0, v0, i0) (ref :98 — learned consistent initialization)
+  for (int n = 0; n < B; ++n) {
+    float* bn = buf.data() + size_t(n) * (zd + vd + idim);
+    for (int k = 0; k < zd; ++k) bn[k] = z[size_t(n) * zd + k];
+    for (int k = 0; k < vd; ++k) bn[zd + k] = v[size_t(n) * vd + k];
+    for (int k = 0; k < idim; ++k) bn[zd + vd + k] = i0_in[size_t(n) * idim + k];
+  }
+  psnode::mlp_forward(in->second, buf.data(), x_out, B);  // rows 0 = x0
+
+  for (int n = 0; n < B; ++n) {
+    float* an = all_init.data() + size_t(n) * d_u;
+    const float* bn = buf.data() + size_t(n) * (zd + vd + idim);
+    for (int k = 0; k < xd; ++k) an[k] = x_out[size_t(n) * xd + k];
+    for (int k = 0; k < zd + vd + idim; ++k) an[xd + k] = bn[k];
+  }
+
+  // i at a time point: ae(cat(all_init, x, z_t, v_t))  (ref :95,121)
+  auto eval_ae = [&](const float* x, const float* zt, const float* vt,
+                     float* out) {
+    for (int n = 0; n < B; ++n) {
+      float* fn = ae_feat.data() + size_t(n) * ae_in;
+      const float* an = all_init.data() + size_t(n) * d_u;
+      for (int k = 0; k < d_u; ++k) fn[k] = an[k];
+      for (int k = 0; k < xd; ++k) fn[d_u + k] = x[size_t(n) * xd + k];
+      for (int k = 0; k < zd; ++k) fn[d_u + xd + k] = zt[size_t(n) * zd + k];
+      for (int k = 0; k < vd; ++k)
+        fn[d_u + xd + zd + k] = vt[size_t(n) * vd + k];
+    }
+    psnode::mlp_forward(ae->second, ae_feat.data(), out, B);
+  };
+  eval_ae(x_out, z, v, i_out);  // i_solution[0]
+
+  psnode::DynEval f{&de->second, all_init.data(), nullptr, B, xd, d_u, {}};
+  for (int j = 1; j < T; ++j) {
+    const float dt = t[j] - t[j - 1];
+    const float* x_prev = x_out + size_t(j - 1) * B * xd;
+    const float* i_prev = i_out + size_t(j - 1) * B * idim;  // lagged i (:119)
+    // drive = cat(z[j-1], v[j-1], i_prev), held constant across substeps
+    for (int n = 0; n < B; ++n) {
+      float* dn = drive.data() + size_t(n) * (zd + vd + idim);
+      const float* zn = z + (size_t(j - 1) * B + n) * zd;
+      const float* vn = v + (size_t(j - 1) * B + n) * vd;
+      const float* in_ = i_prev + size_t(n) * idim;
+      for (int k = 0; k < zd; ++k) dn[k] = zn[k];
+      for (int k = 0; k < vd; ++k) dn[zd + k] = vn[k];
+      for (int k = 0; k < idim; ++k) dn[zd + vd + k] = in_[k];
+    }
+    f.drive = drive.data();
+    psnode::explicit_step(f, sv, dt, x_prev, x_out + size_t(j) * B * xd,
+                          B * xd);
+    eval_ae(x_out + size_t(j) * B * xd, z + size_t(j) * B * zd,
+            v + size_t(j) * B * vd, i_out + size_t(j) * B * idim);
+  }
   return 0;
 }
 

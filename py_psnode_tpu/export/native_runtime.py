@@ -51,8 +51,26 @@ def _get_lib():
             ctypes.c_int,
         ]
         lib.psnode_forward.restype = ctypes.c_int
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.psnode_ode_rollout.argtypes = [
+            ctypes.c_void_p, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, fp,
+        ]
+        lib.psnode_ode_rollout.restype = ctypes.c_int
+        lib.psnode_dae_rollout.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            fp, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, fp, fp,
+        ]
+        lib.psnode_dae_rollout.restype = ctypes.c_int
         _lib = lib
     return _lib
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 class NativeModule:
@@ -105,3 +123,55 @@ class NativeModule:
         if rc != 0:
             raise RuntimeError(f"unknown net {net!r}; have {self.nets}")
         return y[0] if squeeze else y
+
+
+def ode_rollout(de: NativeModule, t, x0, z, solver="euler"):
+    """Full neural-ODE rollout in the C++ runtime (the PSOPS-embedding time
+    loop, ref my_solvers.py:52-80; events are the caller's concern — feed
+    the post-event ``z`` stream).
+
+    Args: ``t [T]``, ``x0 [B, xd]``, ``z [T, B, zd]`` (time-major).
+    Returns ``x_solution [T, B, xd]``.
+    """
+    lib = _get_lib()
+    t = np.ascontiguousarray(t, np.float32).reshape(-1)
+    x0 = np.ascontiguousarray(x0, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    T, (B, xd), zd = t.shape[0], x0.shape, z.shape[-1]
+    out = np.empty((T, B, xd), np.float32)
+    rc = lib.psnode_ode_rollout(
+        de._handle, _fptr(t), _fptr(x0), _fptr(z),
+        T, B, xd, zd, solver.encode(), _fptr(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"psnode_ode_rollout failed rc={rc}")
+    return out
+
+
+def dae_rollout(de: NativeModule, ae: NativeModule, init: NativeModule,
+                t, z, v, i0, solver="euler", x_dim=None):
+    """Full semi-explicit neural-DAE rollout in the C++ runtime
+    (ref my_solvers.py:82-131, no events): learned init, lagged-``i``
+    steps, direct algebraic evaluation per time point.
+
+    Args: ``t [T]``, ``z [T, B, zd]``, ``v [T, B, vd]``, ``i0 [B, id]``.
+    Returns ``(x_solution [T, B, xd], i_solution [T, B, id])``.
+    """
+    lib = _get_lib()
+    t = np.ascontiguousarray(t, np.float32).reshape(-1)
+    z = np.ascontiguousarray(z, np.float32)
+    v = np.ascontiguousarray(v, np.float32)
+    i0 = np.ascontiguousarray(i0, np.float32)
+    T, B = t.shape[0], i0.shape[0]
+    zd, vd, idim = z.shape[-1], v.shape[-1], i0.shape[-1]
+    xd = x_dim if x_dim is not None else init.out_dim("init_fun/")
+    x_out = np.empty((T, B, xd), np.float32)
+    i_out = np.empty((T, B, idim), np.float32)
+    rc = lib.psnode_dae_rollout(
+        de._handle, ae._handle, init._handle,
+        _fptr(t), _fptr(z), _fptr(v), _fptr(i0),
+        T, B, xd, zd, vd, idim, solver.encode(), _fptr(x_out), _fptr(i_out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"psnode_dae_rollout failed rc={rc}")
+    return x_out, i_out

@@ -82,6 +82,95 @@ def test_codec_parity_and_errors(native, tmp_path, rng):
         mod.forward("net/", np.zeros((B, h + 1), np.float32))
 
 
+@pytest.mark.parametrize("solver", ["euler", "midpoint", "rk4"])
+def test_native_ode_rollout_parity(native, tmp_path, rng, solver):
+    """The C++ full ODE rollout == ODEModel.apply (no events) — the
+    PSOPS-embedding time loop runs entirely in native code."""
+    from py_psnode_tpu.export.native_runtime import ode_rollout
+    from py_psnode_tpu.models import ODEModel
+
+    B, T, xd, zd, h = 3, 12, 2, 2, 8
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    x = rng.normal(size=(B, T, xd)).astype(f32)
+    z = rng.normal(size=(B, T, zd)).astype(f32)
+    model = ODEModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver=solver)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(x), jnp.asarray(z)
+    )
+    ref = np.asarray(
+        model.apply(params, jnp.asarray(t), jnp.asarray(x), jnp.asarray(z))
+    )  # [B, T, xd]
+
+    path = tmp_path / "de.weights.bin"
+    write_weights_bin(path, flatten_params(params["params"]["de_func"]))
+    de = native(path)
+    got = ode_rollout(
+        de, t[0, :, 0], x[:, 0], np.swapaxes(z, 0, 1), solver=solver
+    )  # [T, B, xd]
+    np.testing.assert_allclose(
+        np.swapaxes(got, 0, 1), ref, rtol=2e-4, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_native_dae_rollout_parity(native, tmp_path, rng, solver):
+    """The C++ full DAE rollout (learned init + lagged-i + algebraic net)
+    == DAEModel.apply (no events)."""
+    from py_psnode_tpu.export.native_runtime import dae_rollout
+    from py_psnode_tpu.models import DAEModel
+
+    B, T, xd, zd, vd, idim, h = 3, 10, 2, 1, 2, 2, 8
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    x = rng.normal(size=(B, T, xd)).astype(f32)
+    z = rng.normal(size=(B, T, zd)).astype(f32)
+    v = rng.normal(size=(B, T, vd)).astype(f32)
+    i = rng.normal(size=(B, T, idim)).astype(f32)
+    model = DAEModel(
+        x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, hidden_dim=h, solver=solver
+    )
+    args = tuple(jnp.asarray(a) for a in (t, x, z, v, i))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    x_ref, i_ref = (np.asarray(a) for a in model.apply(params, *args))
+
+    p = params["params"]
+    for name in ("de_func", "ae_func", "init_func"):
+        write_weights_bin(
+            tmp_path / f"{name}.weights.bin", flatten_params(p[name])
+        )
+    de = native(tmp_path / "de_func.weights.bin")
+    ae = native(tmp_path / "ae_func.weights.bin")
+    init = native(tmp_path / "init_func.weights.bin")
+    x_got, i_got = dae_rollout(
+        de, ae, init, t[0, :, 0],
+        np.swapaxes(z, 0, 1), np.swapaxes(v, 0, 1), i[:, 0], solver=solver,
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(x_got, 0, 1), x_ref, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(i_got, 0, 1), i_ref, rtol=2e-4, atol=2e-5
+    )
+
+
+def test_native_rollout_bad_solver(native, tmp_path, rng):
+    from py_psnode_tpu.export.native_runtime import ode_rollout
+    from py_psnode_tpu.models.funcs import DEFunc
+
+    de_mod = DEFunc((8, 8, 8, 2))
+    a = jnp.zeros((1, 4), jnp.float32)
+    params = de_mod.init(jax.random.PRNGKey(0), 0.0, a, a[:, :2], a[:, :2])
+    path = tmp_path / "de.weights.bin"
+    write_weights_bin(path, flatten_params(params["params"]))
+    de = native(path)
+    with pytest.raises(RuntimeError, match="rc=-2"):
+        ode_rollout(
+            de, np.zeros(3, np.float32), np.zeros((1, 2), np.float32),
+            np.zeros((3, 1, 2), np.float32), solver="dopri5",
+        )
+
+
 def test_channelwise_bin_parity(native, tmp_path, rng):
     """Per-channel stacked weights slice into C independent Dense nets in
     the flat-bin (binfmt decision, export.flatten_channelwise) — the
