@@ -231,14 +231,24 @@ def _kernel(
     solver: str,
     n_tails: Tuple[int, int],
     tb: int,
+    tf_x: bool = False,
 ):
     (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref, x0_ref, i0_ref) = refs[:7]
+    k = 7
+    xt_true_ref = xt1_true_ref = None
+    if tf_x:
+        # teacher forcing: TRUE x[j-1] drives the step, TRUE x[j] drives the
+        # algebraic eval (ref my_solvers.py:116-117,121); the ROLLED carry
+        # x_c is still maintained for the event-step recompute (ref :108-110
+        # reads the loop's rolled state even under input_true_x)
+        xt_true_ref, xt1_true_ref = refs[7], refs[8]
+        k = 9
     n_de, n_ae = n_tails
-    w = refs[7 : 7 + 3 + 2 * (n_de + n_ae)]
+    w = refs[k : k + 3 + 2 * (n_de + n_ae)]
     wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
     de_tail = w[3 : 3 + 2 * n_de]
     ae_tail = w[3 + 2 * n_de :]
-    xsol_ref, isol_ref, x_c, i_c, i_in_buf = refs[7 + 3 + 2 * (n_de + n_ae) :]
+    xsol_ref, isol_ref, x_c, i_c, i_in_buf = refs[k + 3 + 2 * (n_de + n_ae) :]
 
     t = pl.program_id(1)
 
@@ -251,15 +261,17 @@ def _kernel(
         return mlp_tail_fwd(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
 
     for u in range(tb):
-        x0 = x_c[:]
+        x_rolled = x_c[:]
+        x0 = xt_true_ref[u] if tf_x else x_rolled
 
         # event-step algebraic recompute (ref my_solvers.py:108-110),
-        # predicated so non-event steps skip the extra net evaluation
+        # predicated so non-event steps skip the extra net evaluation;
+        # always evaluated at the ROLLED state (ref reads the loop's x0)
         i_in_buf[:] = i_c[:]
 
         @pl.when(any_ev_ref[t * tb + u] == 1)
-        def _(x0=x0, u=u):
-            i_ev = ae_head(x0, s_ae_ev_ref[u])
+        def _(x_rolled=x_rolled, u=u):
+            i_ev = ae_head(x_rolled, s_ae_ev_ref[u])
             i_in_buf[:] = jnp.where(ev_ref[u] > 0.0, i_ev, i_in_buf[:])
 
         i_in = i_in_buf[:]
@@ -285,7 +297,7 @@ def _kernel(
         else:  # pragma: no cover
             raise ValueError(solver)
 
-        i1 = ae_head(x1, s_ae_ref[u])
+        i1 = ae_head(xt1_true_ref[u] if tf_x else x1, s_ae_ref[u])
         x_c[:] = x1
         i_c[:] = i1
         xsol_ref[u] = x1
@@ -303,6 +315,7 @@ def fused_dae_rollout(
     solver: str = "rk4",
     interpret: bool = False,
     block_b: int = 128,
+    x_true=None,
 ):
     """Run the fused rollout.
 
@@ -313,6 +326,9 @@ def fused_dae_rollout(
       i0: ``[B, id]`` initial algebraic output (AE at t=0, computed outside).
       dt: ``[T-1, B, 1]`` step sizes.
       ev: ``[T-1, B]`` event mask.
+      x_true: ``[T, B, xd]`` — teacher forcing (``input_true_x``): the step
+        consumes the true previous state and the algebraic eval the true
+        current one; events still recompute from the rolled carry.
 
     Returns ``(x_solution [T, B, xd], i_solution [T, B, id])`` including the
     initial row.
@@ -340,9 +356,14 @@ def fused_dae_rollout(
     )
 
     wflat, n_tails = flatten_weights(weights)
+    tf_x = x_true is not None
+    tf_args, tf_specs = (), []
+    if tf_x:
+        tf_args = (pad_time(x_true[:-1], pad), pad_time(x_true[1:], pad))
+        tf_specs = [step_spec(xd), step_spec(xd)]
     in_specs = [
         step_spec(h), step_spec(h), step_spec(h), step_spec(1), step_spec(1),
-        bspec(xd), bspec(idim),
+        bspec(xd), bspec(idim), *tf_specs,
     ] + [full(wk.shape) for wk in wflat]
 
     out_shape = (
@@ -361,11 +382,13 @@ def fused_dae_rollout(
         ],
     )
     xs, is_ = pl.pallas_call(
-        functools.partial(_kernel, solver=solver, n_tails=n_tails, tb=tb),
+        functools.partial(
+            _kernel, solver=solver, n_tails=n_tails, tb=tb, tf_x=tf_x
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(any_ev, s_de, s_ae, s_ae_ev, dt, ev_f, x0, i0, *wflat)
+    )(any_ev, s_de, s_ae, s_ae_ev, dt, ev_f, x0, i0, *tf_args, *wflat)
     x_solution = jnp.concatenate([x0[None], xs[:Tm1]], axis=0)
     i_solution = jnp.concatenate([i0[None], is_[:Tm1]], axis=0)
     return x_solution, i_solution

@@ -101,16 +101,28 @@ def _bwd_kernel(
     solver: str,
     n_tails,
     tb: int,
+    tf_x: bool = False,
 ):
     n_de, n_ae = n_tails
     n_w = 3 + 2 * (n_de + n_ae)
     (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref,
      xt_ref, it_ref, x1_ref, dX_ref, dI_ref) = refs[:10]
-    w = refs[10 : 10 + n_w]
+    # Teacher forcing (input_true_x): the differential step evaluated at the
+    # TRUE previous state (extra stream); x1_ref then carries TRUE x[t+1]
+    # for the algebraic recompute, while xt_ref stays the ROLLED solution
+    # (only the event recompute reads it). Cotangents that target the true
+    # streams are data gradients and are dropped; the x-carry transports
+    # only the event-recompute contribution.
+    k = 10
+    xin_true_ref = None
+    if tf_x:
+        xin_true_ref = refs[10]
+        k = 11
+    w = refs[k : k + n_w]
     wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
     de_tail = w[3 : 3 + 2 * n_de]
     ae_tail = w[3 + 2 * n_de :]
-    outs = refs[10 + n_w :]
+    outs = refs[k + n_w :]
     gs_de_ref, gs_ae_ref, gs_ae_ev_ref = outs[0], outs[1], outs[2]
     gw = outs[3 : 3 + n_w]
     d_wx_ref, d_wi_ref, d_gx_ref = gw[0], gw[1], gw[2]
@@ -146,7 +158,8 @@ def _bwd_kernel(
         return _dot(gp1, gx_ae_ref[:].T), gp1
 
     for u in reversed(range(tb)):
-        x0 = xt_ref[u]
+        x0 = xt_ref[u]  # rolled state — event recompute only
+        x_step = xin_true_ref[u] if tf_x else x0  # step evaluation point
         x1 = x1_ref[u]
         i_t = it_ref[u]
         dt = dt_ref[u]
@@ -173,7 +186,8 @@ def _bwd_kernel(
         _, res_ae = ae_fwd(x1, s_ae_ref[u])
         g_x1_ae, gp1_ae = ae_bwd(x1, res_ae, gI1)
         gs_ae_ref[u] = gp1_ae
-        gX1 = gX1 + g_x1_ae
+        if not tf_x:  # under TF the AE reads TRUE x[t+1] — data, no grad
+            gX1 = gX1 + g_x1_ae
 
         # ---- differential step backward ----
         def F_fwd(x, u=u, i_proj=i_proj):
@@ -190,14 +204,14 @@ def _bwd_kernel(
             return _dot(gp1, wx_de_ref[:].T), _dot(gp1, wi_de_ref[:].T), gp1
 
         if solver == "euler":
-            _, res = F_fwd(x0)
+            _, res = F_fwd(x_step)
             g_x, g_i_in, gp1 = F_bwd(res, dt * gX1)
             g_x0 = gX1 + g_x
             gs_de = gp1
         elif solver == "midpoint":
             # x1 = x0 + dt * F(x_mid), x_mid = x0 + (dt/2) F(x0)
-            f0, res0 = F_fwd(x0)
-            x_mid = x0 + f0 * (0.5 * dt)
+            f0, res0 = F_fwd(x_step)
+            x_mid = x_step + f0 * (0.5 * dt)
             _, res_m = F_fwd(x_mid)
             g_xmid, gi_m, gp_m = F_bwd(res_m, dt * gX1)
             g_f0 = (0.5 * dt) * g_xmid
@@ -206,12 +220,12 @@ def _bwd_kernel(
             g_i_in = gi_m + gi_0
             gs_de = gp_m + gp_0
         elif solver == "rk4":
-            k1, res1 = F_fwd(x0)
-            a2 = x0 + dt * k1 * _ONE_THIRD
+            k1, res1 = F_fwd(x_step)
+            a2 = x_step + dt * k1 * _ONE_THIRD
             k2, res2 = F_fwd(a2)
-            a3 = x0 + dt * (k2 - k1 * _ONE_THIRD)
+            a3 = x_step + dt * (k2 - k1 * _ONE_THIRD)
             k3, res3 = F_fwd(a3)
-            a4 = x0 + dt * (k1 - k2 + k3)
+            a4 = x_step + dt * (k1 - k2 + k3)
             _, res4 = F_fwd(a4)
 
             G = gX1
@@ -259,18 +273,22 @@ def _bwd_kernel(
         gs_ae_ev_ref[u] = jnp.zeros_like(gs_ae_ev_ref[u])
         gi_c[:] = g_i_in
 
+        # under TF the solver's g_x0 targets the TRUE stream (data — drop);
+        # the rolled carry transports only the event-recompute contribution
+        g_x_carry = jnp.zeros_like(g_x0) if tf_x else g_x0
+
         @pl.when(any_ev_ref[tblk * tb + u] == 1)
-        def _(x0=x0, u=u, ev=ev, g_i_in=g_i_in, g_x0=g_x0):
+        def _(x0=x0, u=u, ev=ev, g_i_in=g_i_in, g_x_carry=g_x_carry):
             g_ev_part = jnp.where(ev > 0.0, g_i_in, 0.0)
             _, res_ev = ae_fwd(x0, s_ae_ev_ref[u])
             g_x_ev, gp1_ev = ae_bwd(x0, res_ev, g_ev_part)
             gs_ae_ev_ref[u] = gp1_ev
-            gx_c[:] = g_x0 + g_x_ev  # include event contribution in x carry
+            gx_c[:] = g_x_carry + g_x_ev  # event contribution in x carry
             gi_c[:] = jnp.where(ev > 0.0, 0.0, g_i_in)
 
         @pl.when(any_ev_ref[tblk * tb + u] == 0)
-        def _(g_x0=g_x0):
-            gx_c[:] = g_x0
+        def _(g_x_carry=g_x_carry):
+            gx_c[:] = g_x_carry
 
     @pl.when(s == n - 1)
     def _():
@@ -280,7 +298,7 @@ def _bwd_kernel(
 
 def _run_backward(
     streams, weights, x0, i0, dt, ev, x_solution, i_solution, dX, dI, *,
-    solver, interpret, block_b=128,
+    solver, interpret, block_b=128, x_true=None,
 ):
     from py_psnode_tpu.ops.fused_dae import (
         choose_blocks,
@@ -311,13 +329,16 @@ def _run_backward(
     )
 
     wflat, n_tails = flatten_weights(weights)
+    tf_x = x_true is not None
+    tf_specs = [rev(xd)] if tf_x else []
     in_specs = [
         rev(h), rev(h), rev(h), rev(1), rev(1),
-        rev(xd),      # x_t   (rows 0..T-2 of x_solution)
+        rev(xd),      # x_t   (rows 0..T-2 of x_solution; rolled)
         rev(idim),    # i_t
-        rev(xd),      # x_{t+1} (rows 1..T-1, its own padded stream)
+        rev(xd),      # x_{t+1} (rows 1..T-1; TRUE stream under tf_x)
         rev(xd),      # dX (cotangent rows for t+1, stored 0..T-2)
         rev(idim),    # dI
+        *tf_specs,    # TRUE x_t stream (tf_x only)
     ] + [full(wk.shape) for wk in wflat]
 
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
@@ -345,8 +366,12 @@ def _run_backward(
             pltpu.VMEM((bB, idim), jnp.float32),
         ],
     )
+    x1_stream = (x_true if tf_x else x_solution)[1:]
+    tf_args = (pad_time(x_true[:-1], pad),) if tf_x else ()
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, solver=solver, n_tails=n_tails, tb=tb),
+        functools.partial(
+            _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, tf_x=tf_x
+        ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -355,8 +380,9 @@ def _run_backward(
         pad_time(s_de, pad), pad_time(s_ae, pad), pad_time(s_ae_ev, pad),
         pad_time(dt, pad), ev_f,
         pad_time(x_solution[:-1], pad), pad_time(i_solution[:-1], pad),
-        pad_time(x_solution[1:], pad),
+        pad_time(x1_stream, pad),
         pad_time(dX, pad), pad_time(dI, pad),
+        *tf_args,
         *wflat,
     )
     gs_de, gs_ae, gs_ae_ev = outs[0][:Tm1], outs[1][:Tm1], outs[2][:Tm1]
@@ -413,3 +439,52 @@ def _bwd(solver, interpret, residuals, cotangents):
 
 
 fused_dae_rollout_diff.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_dae_tf_x_rollout_diff(
+    streams, weights, x0, i0, x_true, dt, ev, solver, interpret
+):
+    """Differentiable fused rollout under ``input_true_x`` teacher forcing
+    (ref my_solvers.py:116-117,121): same contract as
+    :func:`fused_dae_rollout_diff` plus the true-state stream ``x_true
+    [T, B, xd]``, which receives a zero cotangent (it is training data)."""
+    return fused_dae_rollout(
+        streams, weights, x0, i0, dt, ev,
+        solver=solver, interpret=interpret, x_true=x_true,
+    )
+
+
+def _tf_fwd(streams, weights, x0, i0, x_true, dt, ev, solver, interpret):
+    out = fused_dae_rollout(
+        streams, weights, x0, i0, dt, ev,
+        solver=solver, interpret=interpret, x_true=x_true,
+    )
+    x_solution, i_solution = out
+    return out, (streams, weights, x0, i0, x_true, dt, ev, x_solution, i_solution)
+
+
+def _tf_bwd(solver, interpret, residuals, cotangents):
+    (streams, weights, x0, i0, x_true, dt, ev,
+     x_solution, i_solution) = residuals
+    g_xsol, g_isol = cotangents
+    g_streams, gw, g_x0, g_i0 = _run_backward(
+        streams, weights, x0, i0, dt, ev, x_solution, i_solution,
+        g_xsol[1:], g_isol[1:], solver=solver, interpret=interpret,
+        x_true=x_true,
+    )
+    g_x0 = g_x0 + g_xsol[0]
+    g_i0 = g_i0 + g_isol[0]
+    if jnp.issubdtype(ev.dtype, jnp.floating):
+        g_ev = jnp.zeros_like(ev)
+    else:
+        import numpy as _np
+
+        g_ev = _np.zeros(ev.shape, dtype=jax.dtypes.float0)
+    return (
+        g_streams, gw, g_x0, g_i0, jnp.zeros_like(x_true),
+        jnp.zeros_like(dt), g_ev,
+    )
+
+
+fused_dae_tf_x_rollout_diff.defvjp(_tf_fwd, _tf_bwd)

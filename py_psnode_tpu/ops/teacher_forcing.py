@@ -85,6 +85,106 @@ def tf_parallel_ode_apply(
     return _tm(solution)
 
 
+def _dae_tf_setup(params, batch, dims, hidden_dim, tf_x: bool):
+    """Shared TF-DAE preamble: event streams, Init/AE initial evals
+    (``i0`` from the TRUE initial state under ``input_true_x``,
+    ref my_solvers.py:95), and the layer-1 stream precompute."""
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    p = params["params"]
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    xT = _tm(batch["x"])
+    zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = _tm(
+        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    )[:-1]
+    v_used = _tm(
+        jumped_stream(batch["v"], batch.get("v_jump"), is_event, e_idx)
+    )[:-1]
+    ev = _tm(is_event[:, :, None])[:-1, :, 0]
+
+    x0 = InitFunc((h, h, xd)).apply({"params": p["init_func"]}, zT[0], vT[0], iT[0])
+    all_initial = jnp.concatenate([x0, zT[0], vT[0], iT[0]], axis=-1)
+    ae = AEFunc((h, h, h, idim))
+    i0 = ae.apply(
+        {"params": p["ae_func"]}, all_initial,
+        xT[0] if tf_x else x0, zT[0], vT[0],
+    )
+    streams, weights = precompute_streams(
+        p, all_initial, zT, vT, z_used, v_used, dims
+    )
+    dt = tT[1:] - tT[:-1]
+    return p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0, streams, weights, dt
+
+
+def fused_dae_tf_x_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Teacher-forced-``x`` DAE forward through the fused kernel pair.
+
+    Exact semantics of ``integrate_dae(..., input_true_x=True)``: the step
+    consumes TRUE ``x[j-1]``, the algebraic eval TRUE ``x[j]`` (ref
+    my_solvers.py:116-117,121), while the event recompute still reads the
+    ROLLED carry (ref :108-110) — the kernel maintains both.
+
+    Returns ``(x_pred, i_pred)`` batch-major.
+    """
+    from py_psnode_tpu.ops.fused_dae_vjp import fused_dae_tf_x_rollout_diff
+
+    solver = normalize_solver(solver)
+    (p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0,
+     streams, weights, dt) = _dae_tf_setup(params, batch, dims, hidden_dim, True)
+    x_sol, i_sol = fused_dae_tf_x_rollout_diff(
+        streams, weights, x0, i0, xT, dt, ev, solver, interpret
+    )
+    return _tm(x_sol), _tm(i_sol)
+
+
+def tf_parallel_dae_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+):
+    """Fully teacher-forced DAE forward (``input_true_x`` AND
+    ``input_true_i``), parallel over time: both carried states come from
+    data, the event recompute is statically dead (ref my_solvers.py:113),
+    so every step is independent — one batched ``[T-1, B]`` evaluation.
+
+    Returns ``(x_pred, i_pred)`` batch-major.
+    """
+    from py_psnode_tpu.models.funcs import DEFunc
+
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    (p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0,
+     streams, weights, dt) = _dae_tf_setup(params, batch, dims, hidden_dim, True)
+    Tm1 = tT.shape[0] - 1
+    init_b = jnp.broadcast_to(all_initial, (Tm1,) + all_initial.shape)
+    de = DEFunc((h, h, h, xd))
+    stepper = get_stepper(solver)
+
+    def f(tt, xx):
+        return de.apply(
+            {"params": p["de_func"]}, tt, init_b, xx, z_used, v_used, iT[:-1]
+        )
+
+    t0, t1 = tT[:-1], tT[1:]
+    x_in = xT[:-1]
+    x1 = x_in + stepper(f, t0, t1 - t0, t1, x_in)
+    x_sol = jnp.concatenate([x0[None], x1], axis=0)
+    i_rest = ae.apply({"params": p["ae_func"]}, init_b, xT[1:], zT[1:], vT[1:])
+    i_sol = jnp.concatenate([i0[None], i_rest], axis=0)
+    return _tm(x_sol), _tm(i_sol)
+
+
 def fused_dae_tf_i_apply(
     params: Dict,
     batch: Dict,
@@ -105,28 +205,8 @@ def fused_dae_tf_i_apply(
     contract).
     """
     solver = normalize_solver(solver)
-    xd, zd, vd, idim = dims
-    h = hidden_dim
-    p = params["params"]
-
-    tT = _tm(batch["t"]).astype(jnp.float32)
-    zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
-    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
-    z_used = _tm(
-        jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
-    )[:-1]
-    v_used = _tm(
-        jumped_stream(batch["v"], batch.get("v_jump"), is_event, e_idx)
-    )[:-1]
-
-    x0 = InitFunc((h, h, xd)).apply({"params": p["init_func"]}, zT[0], vT[0], iT[0])
-    all_initial = jnp.concatenate([x0, zT[0], vT[0], iT[0]], axis=-1)
-    ae = AEFunc((h, h, h, idim))
-    i0 = ae.apply({"params": p["ae_func"]}, all_initial, x0, zT[0], vT[0])
-
-    streams, weights = precompute_streams(
-        p, all_initial, zT, vT, z_used, v_used, dims
-    )
+    (p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0,
+     streams, weights, dt) = _dae_tf_setup(params, batch, dims, hidden_dim, False)
     # fold the known lagged-i projection into the per-step stream: the
     # differential rollout no longer carries i at all
     s_de = streams["s_de"] + iT[:-1] @ weights["wi_de"]

@@ -226,17 +226,25 @@ class Trainer:
                 "(multi-shooting IS windowed teacher forcing)"
             )
         if cfg.fused:
-            if variant.name == "ode_no_encode" and tf_x:
-                from py_psnode_tpu.ops.teacher_forcing import tf_parallel_ode_apply
+            from py_psnode_tpu.ops import teacher_forcing as TF
 
-                return lambda p, b: tf_parallel_ode_apply(
+            if variant.name == "ode_no_encode" and tf_x:
+                return lambda p, b: TF.tf_parallel_ode_apply(
                     p, b, model.x_dim, model.hidden_dim, solver=model.solver
                 )
-            if variant.name == "dae_no_encode" and tf_i and not tf_x:
-                from py_psnode_tpu.ops.teacher_forcing import fused_dae_tf_i_apply
-
+            if variant.name == "dae_no_encode":
                 dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
-                return lambda p, b: fused_dae_tf_i_apply(
+                if tf_x and tf_i:  # both carries from data → time-parallel
+                    return lambda p, b: TF.tf_parallel_dae_apply(
+                        p, b, dims, model.hidden_dim, solver=model.solver
+                    )
+                if tf_x:  # fused kernel pair with the true-state streams
+                    return lambda p, b: TF.fused_dae_tf_x_apply(
+                        p, b, dims, model.hidden_dim, solver=model.solver,
+                        interpret=interpret,
+                    )
+                # tf_i only: fold the known i stream into the fused ODE kernel
+                return lambda p, b: TF.fused_dae_tf_i_apply(
                     p, b, dims, model.hidden_dim, solver=model.solver,
                     interpret=interpret,
                 )

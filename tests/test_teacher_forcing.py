@@ -100,8 +100,10 @@ def smib_data(tmp_path_factory):
     [
         (False, dict(input_true_x=True, input_true_i=True)),
         (True, dict(input_true_i=True)),  # fused TF-i kernel path
+        (True, dict(input_true_x=True)),  # fused TF-x kernel pair
+        (True, dict(input_true_x=True, input_true_i=True)),  # time-parallel
     ],
-    ids=["xla_tf_both", "fused_tf_i"],
+    ids=["xla_tf_both", "fused_tf_i", "fused_tf_x", "fused_tf_both"],
 )
 def test_trainer_tf_smoke(smib_data, tmp_path, fused, tf_kw):
     train_f, test_f = smib_data
@@ -120,14 +122,80 @@ def test_trainer_tf_smoke(smib_data, tmp_path, fused, tf_kw):
     assert evals[-1] < evals[0], f"TF eval loss did not decrease: {evals}"
 
 
-def test_fused_tf_x_dae_falls_back_with_warning(smib_data, tmp_path, caplog):
-    """fused + input_true_x on the DAE has no fused kernel — the trainer must
-    fall back to the XLA scan and say so."""
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+@pytest.mark.parametrize("with_events", [False, True], ids=["noev", "ev"])
+def test_fused_dae_tf_x_matches_scan(rng, solver, with_events):
+    """The fused TF-x DAE kernel pair == the scan integrator with
+    input_true_x=True (values AND grads): the step reads TRUE x[j-1], the
+    algebraic eval TRUE x[j], the event recompute the ROLLED carry."""
+    from py_psnode_tpu.ops.teacher_forcing import fused_dae_tf_x_apply
+
+    model, params, batch, args, dims5 = _setup(
+        rng, B=3, T=8, h=8, solver=solver, with_events=with_events
+    )
+    dims, h = dims5[:4], dims5[4]
+    x_ref, i_ref = model.apply(params, *args, input_true_x=True)
+    x_f, i_f = fused_dae_tf_x_apply(
+        params, batch, dims, h, solver=solver, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i_f), np.asarray(i_ref), rtol=2e-4, atol=1e-5)
+
+    xt = jnp.asarray(rng.normal(size=x_ref.shape).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=i_ref.shape).astype(np.float32))
+
+    def loss_ref(p):
+        xs, is_ = model.apply(p, *args, input_true_x=True)
+        return jnp.sum((xs - xt) ** 2) + 0.5 * jnp.sum((is_ - it) ** 2)
+
+    def loss_f(p):
+        xs, is_ = fused_dae_tf_x_apply(p, batch, dims, h, solver=solver, interpret=True)
+        return jnp.sum((xs - xt) ** 2) + 0.5 * jnp.sum((is_ - it) ** 2)
+
+    l_r, g_r = jax.value_and_grad(loss_ref)(params)
+    l_f, g_f = jax.value_and_grad(loss_f)(params)
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("solver", ["euler", "midpoint", "rk4"])
+def test_tf_parallel_dae_matches_scan(rng, solver):
+    """Full TF (x AND i) DAE == the scan integrator with both flags —
+    evaluated time-parallel (no sequential dependence remains)."""
+    from py_psnode_tpu.ops.teacher_forcing import tf_parallel_dae_apply
+
+    model, params, batch, args, dims5 = _setup(rng, B=3, T=8, h=8, solver=solver)
+    dims, h = dims5[:4], dims5[4]
+    x_ref, i_ref = model.apply(params, *args, input_true_x=True, input_true_i=True)
+    x_f, i_f = tf_parallel_dae_apply(params, batch, dims, h, solver=solver)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i_f), np.asarray(i_ref), rtol=1e-5, atol=1e-6)
+
+    xt = jnp.asarray(rng.normal(size=x_ref.shape).astype(np.float32))
+
+    g_ref = jax.grad(
+        lambda p: jnp.sum(
+            (model.apply(p, *args, input_true_x=True, input_true_i=True)[0] - xt) ** 2
+        )
+    )(params)
+    g_par = jax.grad(
+        lambda p: jnp.sum(
+            (tf_parallel_dae_apply(p, batch, dims, h, solver=solver)[0] - xt) ** 2
+        )
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_par), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_tf_encode_falls_back_with_warning(smib_data, tmp_path, caplog):
+    """fused + teacher forcing on an ENCODE variant has no fused kernel —
+    the trainer must fall back to the XLA scan and say so."""
     import logging
 
     train_f, test_f = smib_data
     cfg = TrainConfig(
-        variant="dae_no_encode", train_data=str(train_f),
+        variant="dae_encode", train_data=str(train_f),
         test_data=str(test_f), model=str(tmp_path / "m"),
         num=12, batch=6, hidden=8, epoch=1, step=21, echo_logs=False,
         larger_than=None, fused=True, input_true_x=True,

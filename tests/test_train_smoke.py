@@ -113,6 +113,28 @@ def test_dae_encode_end_to_end(smib_data, tmp_path):
         assert (model_path / "saved model" / f"{name}.weights.npz").exists()
 
 
+def test_host_data_fallback_matches_device_resident(avr_data, tmp_path):
+    """device_data_max_bytes=0 forces the host-slicing train AND eval paths
+    (used when the dataset outgrows the device); both must train to the
+    same params as the device-resident default."""
+    import jax
+
+    def run(max_bytes, tag):
+        cfg = _cfg(
+            "ode_no_encode", avr_data, tmp_path / tag, num=16, batch=8,
+            epoch=1, device_data_max_bytes=max_bytes,
+        )
+        params, _ = Trainer(cfg).train()
+        return jax.tree_util.tree_map(np.asarray, params)
+
+    p_dev = run(2 << 30, "dev")
+    p_host = run(0, "host")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_dev), jax.tree_util.tree_leaves(p_host)
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_orbax_auto_resume_bitwise_identical(avr_data, tmp_path):
     """Kill-at-epoch-k recovery (judge round-1 item 6): training epochs 1-2,
     'crash', restart with auto_resume → params bitwise-identical to an
