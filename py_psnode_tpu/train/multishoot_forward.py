@@ -13,7 +13,7 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 
-from py_psnode_tpu.models.funcs import AEFunc, DEFunc, InitFunc
+from py_psnode_tpu.models.funcs import AEFunc, Codec, DEFunc, InitFunc
 from py_psnode_tpu.solvers import event_match, jumped_stream
 from py_psnode_tpu.solvers.multishoot import (
     _window_fold,
@@ -123,6 +123,254 @@ def multishoot_dae_apply(
         n_windows, is_event=ev, remat=remat, unroll=unroll,
     )
     return (_tm(x_sol), _tm(i_sol)), gaps
+
+
+def _ode_encode_prep(params, batch, hidden_dim):
+    """Shared ODE direct-encode preamble: codec closures, latent streams,
+    latent jumped inputs (events jump in latent space,
+    ref neural_00_ODE_02_direct_encode.py:78)."""
+    h = hidden_dim
+    p = params["params"]
+    x_dim = p["x_decoder"]["net"]["dense_1"]["kernel"].shape[-1]
+    x_enc = lambda a: Codec((h, h)).apply({"params": p["x_encoder"]}, a)
+    x_dec = lambda a: Codec((h, x_dim)).apply({"params": p["x_decoder"]}, a)
+    z_enc = lambda a: Codec((h, h)).apply({"params": p["z_encoder"]}, a)
+    xh = x_enc(batch["x"])
+    zh = z_enc(batch["z"])
+    zh_jump = z_enc(batch["z_jump"]) if batch.get("z_jump") is not None else None
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    zh_used = _tm(jumped_stream(zh, zh_jump, is_event, e_idx))[:-1]
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    return p, x_enc, x_dec, xh, zh, zh_used, tT
+
+
+def multishoot_ode_encode_apply(
+    params: Dict,
+    batch: Dict,
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    remat=True,
+    unroll: int = 1,
+):
+    """Multi-shooting for the ODE direct-encode variant: windows start from
+    the ENCODED true states (teacher forcing in latent space — the encoder
+    provides window initials for free), integrate the 2-layer latent
+    dynamics, decode the stitched solution.
+
+    Returns ``((x_pred, x_re), gaps [K-1, B, h])`` — the
+    ``ODEEncodeModel.__call__`` output contract plus latent gaps.
+    """
+    h = hidden_dim
+    p, x_enc, x_dec, xh, zh, zh_used, tT = _ode_encode_prep(params, batch, h)
+    xhT, zhT = _tm(xh), _tm(zh)
+    de = DEFunc((h, h))
+    all_initial = jnp.concatenate([xhT[0], zhT[0]], axis=-1)
+    tiled = tile_batch(all_initial, n_windows)
+    de_fn = lambda tt, xx, zz: de.apply(
+        {"params": p["de_func"]}, tt, tiled, xx, zz
+    )
+    xh_sol, gaps = multishoot_ode(
+        solver, de_fn, tT, xhT, zh_used, n_windows, remat=remat, unroll=unroll
+    )
+    x_pred = x_dec(_tm(xh_sol))
+    x_re = x_dec(xh)
+    return (x_pred, x_re), gaps
+
+
+def fused_multishoot_ode_encode_apply(
+    params: Dict,
+    batch: Dict,
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused-kernel counterpart of :func:`multishoot_ode_encode_apply`."""
+    from py_psnode_tpu.ops.fused_dae import normalize_solver
+    from py_psnode_tpu.ops.fused_ode import (
+        fused_ode_rollout_diff,
+        precompute_ode_streams,
+    )
+
+    solver = normalize_solver(solver)
+    h = hidden_dim
+    p, x_enc, x_dec, xh, zh, zh_used, tT = _ode_encode_prep(params, batch, h)
+    xhT, zhT = _tm(xh), _tm(zh)
+    T, B = tT.shape[0], tT.shape[1]
+    K = n_windows
+    L = _check_windows(T, K)
+
+    tw = _window_fold(tT, K, L, 1)
+    xhw = _window_fold(xhT, K, L, 1)
+    zhw = _window_fold(zh_used, K, L, 0)
+    all_initial = jnp.concatenate([xhT[0], zhT[0]], axis=-1)
+    tiled = tile_batch(all_initial, K)
+    s_de, weights = precompute_ode_streams(p, tiled, zhw, h)
+    dt = tw[1:] - tw[:-1]
+    sol_w = fused_ode_rollout_diff(s_de, weights, xhw[0], dt, solver, interpret)
+    xh_sol = _window_unfold(sol_w, K, L, B)
+    ends = sol_w[-1].reshape(K, B, -1)[:-1]
+    next_starts = xhw[0].reshape(K, B, -1)[1:]
+    x_pred = x_dec(_tm(xh_sol))
+    x_re = x_dec(xh)
+    return (x_pred, x_re), ends - next_starts
+
+
+def _dae_encode_prep(params, batch, dims, hidden_dim, n_windows):
+    """Shared DAE direct-encode multishoot preamble: five codecs, latent
+    streams with latent event jumps, per-window raw Init (the model
+    initializes from RAW z/v/i then encodes,
+    ref neural_01_DAE_02_direct_encode.py:126-127), folded latent streams.
+    """
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    p = params["params"]
+    codec = lambda name, out: (
+        lambda a: Codec((h, out)).apply({"params": p[name]}, a)
+    )
+    x_enc, x_dec = codec("x_encoder", h), codec("x_decoder", xd)
+    v_enc, i_enc = codec("v_encoder", h), codec("i_encoder", h)
+    i_dec = codec("i_decoder", idim)
+    z_enc = codec("z_encoder", h) if zd != 0 else (lambda a: a)
+
+    zh, vh, ih = z_enc(batch["z"]), v_enc(batch["v"]), i_enc(batch["i"])
+    zh_jump = z_enc(batch["z_jump"]) if batch.get("z_jump") is not None else None
+    vh_jump = v_enc(batch["v_jump"]) if batch.get("v_jump") is not None else None
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    zh_used = _tm(jumped_stream(zh, zh_jump, is_event, e_idx))[:-1]
+    vh_used = _tm(jumped_stream(vh, vh_jump, is_event, e_idx))[:-1]
+    ev = _tm(is_event[:, :, None])[:-1, :, 0]
+
+    tT = _tm(batch["t"]).astype(jnp.float32)
+    zhT, vhT, ihT = _tm(zh), _tm(vh), _tm(ih)
+    zT_raw, vT_raw, iT_raw = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
+    T, B = tT.shape[0], tT.shape[1]
+    K = n_windows
+    L = _check_windows(T, K)
+
+    tw = _window_fold(tT, K, L, 1)
+    zhw_full = _window_fold(zhT, K, L, 1)
+    vhw_full = _window_fold(vhT, K, L, 1)
+    ihw_full = _window_fold(ihT, K, L, 1)
+    zhw = _window_fold(zh_used, K, L, 0)
+    vhw = _window_fold(vh_used, K, L, 0)
+    evw = _window_fold(ev[:, :, None], K, L, 0)[:, :, 0]
+
+    # per-window raw Init → encode (window initials, teacher-forced inputs)
+    z0w = _window_fold(zT_raw, K, L, 1)[0]
+    v0w = _window_fold(vT_raw, K, L, 1)[0]
+    i0w_raw = _window_fold(iT_raw, K, L, 1)[0]
+    x0_raw_w = InitFunc((h, h, xd)).apply(
+        {"params": p["init_func"]}, z0w, v0w, i0w_raw
+    )
+    xh0_w = x_enc(x0_raw_w)
+    all_init_f = jnp.concatenate(
+        [xh0_w, zhw_full[0], vhw_full[0], ihw_full[0]], axis=-1
+    )
+    zl = zhT.shape[-1]
+    return (
+        p, x_enc, x_dec, i_dec, i_enc, tT, T, B, K, L, tw,
+        zhw_full, vhw_full, ihw_full, zhw, vhw, evw,
+        x0_raw_w, xh0_w, all_init_f, zl,
+    )
+
+
+def _dae_encode_finish(x_dec, i_dec, i_enc, batch, params, dims, hidden_dim,
+                       xh_sol_w, ih_sol_w, x0_raw_w, xh0_w, K, L, B):
+    """Unfold, decode, force the global initial row (ref :150), recon."""
+    xd = dims[0]
+    xh_sol = _window_unfold(xh_sol_w, K, L, B)
+    ih_sol = _window_unfold(ih_sol_w, K, L, B)
+    x_pred = x_dec(_tm(xh_sol))
+    x0_global = x0_raw_w.reshape(K, B, xd)[0]
+    x_pred = x_pred.at[:, 0].set(x0_global)  # ref :150 — Init row forced
+    i_pred = i_dec(_tm(ih_sol))
+    h = hidden_dim
+    p = params["params"]
+    x_re = x_dec(Codec((h, h)).apply({"params": p["x_encoder"]}, batch["x"]))
+    i_re = i_dec(i_enc(batch["i"]))
+    ends = xh_sol_w[-1].reshape(K, B, -1)[:-1]
+    next_starts = xh0_w.reshape(K, B, -1)[1:]
+    return (x_pred, i_pred, x_re, i_re), ends - next_starts
+
+
+def multishoot_dae_encode_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    remat=True,
+    unroll: int = 1,
+):
+    """Multi-shooting for the DAE direct-encode variant: per-window latent
+    windows with raw-``Init``-then-encode window initials, latent event
+    jumps, lagged-``i`` latent integration, decode + recon outputs.
+
+    Returns ``((x_pred, i_pred, x_re, i_re), gaps [K-1, B, h])``.
+    """
+    from py_psnode_tpu.solvers.integrate import integrate_dae
+
+    h = hidden_dim
+    (p, x_enc, x_dec, i_dec, i_enc, tT, T, B, K, L, tw,
+     zhw_full, vhw_full, ihw_full, zhw, vhw, evw,
+     x0_raw_w, xh0_w, all_init_f, zl) = _dae_encode_prep(
+        params, batch, dims, hidden_dim, n_windows
+    )
+    de = DEFunc((h, h))
+    ae = AEFunc((h, h))
+    de_fn = lambda tt, xx, zz, vv, ii: de.apply(
+        {"params": p["de_func"]}, tt, all_init_f, xx, zz, vv, ii
+    )
+    ae_fn = lambda xx, zz, vv: ae.apply(
+        {"params": p["ae_func"]}, all_init_f, xx, zz, vv
+    )
+    xh_sol_w, ih_sol_w = integrate_dae(
+        solver, de_fn, ae_fn, xh0_w, tw, zhw_full, vhw_full, zhw, vhw,
+        is_event=evw, remat=remat, unroll=unroll,
+    )
+    return _dae_encode_finish(
+        x_dec, i_dec, i_enc, batch, params, dims, hidden_dim,
+        xh_sol_w, ih_sol_w, x0_raw_w, xh0_w, K, L, B,
+    )
+
+
+def fused_multishoot_dae_encode_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused-kernel counterpart of :func:`multishoot_dae_encode_apply`."""
+    from py_psnode_tpu.ops.fused_dae import normalize_solver, precompute_streams
+    from py_psnode_tpu.ops.fused_dae_vjp import fused_dae_rollout_diff
+
+    solver = normalize_solver(solver)
+    h = hidden_dim
+    (p, x_enc, x_dec, i_dec, i_enc, tT, T, B, K, L, tw,
+     zhw_full, vhw_full, ihw_full, zhw, vhw, evw,
+     x0_raw_w, xh0_w, all_init_f, zl) = _dae_encode_prep(
+        params, batch, dims, hidden_dim, n_windows
+    )
+    i0w = AEFunc((h, h)).apply(
+        {"params": p["ae_func"]}, all_init_f, xh0_w, zhw_full[0], vhw_full[0]
+    )
+    streams, weights = precompute_streams(
+        p, all_init_f, zhw_full, vhw_full, zhw, vhw, (h, zl, h, h)
+    )
+    dt = tw[1:] - tw[:-1]
+    xh_sol_w, ih_sol_w = fused_dae_rollout_diff(
+        streams, weights, xh0_w, i0w, dt, evw, solver, interpret
+    )
+    return _dae_encode_finish(
+        x_dec, i_dec, i_enc, batch, params, dims, hidden_dim,
+        xh_sol_w, ih_sol_w, x0_raw_w, xh0_w, K, L, B,
+    )
 
 
 def fused_multishoot_ode_apply(

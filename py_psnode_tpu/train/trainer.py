@@ -287,8 +287,29 @@ class Trainer:
                 p, b, dims, model.hidden_dim, cfg.n_windows,
                 solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
             )
+        if variant.name == "ode_encode":
+            if cfg.fused:
+                return lambda p, b: MS.fused_multishoot_ode_encode_apply(
+                    p, b, model.hidden_dim, cfg.n_windows,
+                    solver=model.solver, interpret=interpret,
+                )
+            return lambda p, b: MS.multishoot_ode_encode_apply(
+                p, b, model.hidden_dim, cfg.n_windows,
+                solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
+            )
+        if variant.name == "dae_encode":
+            dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+            if cfg.fused:
+                return lambda p, b: MS.fused_multishoot_dae_encode_apply(
+                    p, b, dims, model.hidden_dim, cfg.n_windows,
+                    solver=model.solver, interpret=interpret,
+                )
+            return lambda p, b: MS.multishoot_dae_encode_apply(
+                p, b, dims, model.hidden_dim, cfg.n_windows,
+                solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
+            )
         raise ValueError(
-            f"multi-shooting supports the no-encode variants, not {variant.name}"
+            f"multi-shooting supports the main four variants, not {variant.name}"
         )
 
     def _make_train_step(self, model, tx, device_data=None):

@@ -200,6 +200,125 @@ def test_fused_multishoot_dae_grad_parity(rng, solver):
         )
 
 
+def _enc_ode_setup(rng, B=3, T=9, xd=2, zd=2, h=8, solver="euler"):
+    from py_psnode_tpu.models import ODEEncodeModel
+
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    event_t = np.full((B, 2), -1.0, f32)
+    for b in range(B):
+        event_t[b, 0] = t[b, 2 + b % 3, 0]
+    batch = dict(
+        t=jnp.asarray(t),
+        x=jnp.asarray(rng.normal(size=(B, T, xd)).astype(f32)),
+        z=jnp.asarray(rng.normal(size=(B, T, zd)).astype(f32)),
+        event_t=jnp.asarray(event_t),
+        z_jump=jnp.asarray(rng.normal(size=(B, 2, zd)).astype(f32)),
+    )
+    model = ODEEncodeModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver=solver)
+    args = tuple(batch[k] for k in ("t", "x", "z", "event_t", "z_jump"))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    return model, params, batch, args, h
+
+
+def test_multishoot_ode_encode_k1_equals_model(rng):
+    """K=1 latent multishoot == the plain ODEEncodeModel forward (window 0
+    starts from the encoded true x0, exactly like the model)."""
+    from py_psnode_tpu.train.multishoot_forward import multishoot_ode_encode_apply
+
+    model, params, batch, args, h = _enc_ode_setup(rng)
+    x_ref, xre_ref = model.apply(params, *args)
+    (x_ms, xre_ms), gaps = multishoot_ode_encode_apply(
+        params, batch, h, 1, solver="euler", remat=False
+    )
+    assert gaps.shape[0] == 0
+    np.testing.assert_allclose(np.asarray(x_ms), np.asarray(x_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xre_ms), np.asarray(xre_ref), rtol=1e-6)
+
+
+def test_fused_multishoot_ode_encode_grad_parity(rng):
+    from py_psnode_tpu.train.multishoot_forward import (
+        fused_multishoot_ode_encode_apply,
+        multishoot_ode_encode_apply,
+    )
+
+    model, params, batch, args, h = _enc_ode_setup(rng, T=9)
+    K = 4
+
+    def loss(p, fused):
+        fn = fused_multishoot_ode_encode_apply if fused else multishoot_ode_encode_apply
+        kw = dict(interpret=True) if fused else dict(remat=False)
+        (x_pred, x_re), gaps = fn(p, batch, h, K, solver="euler", **kw)
+        return jnp.sum(x_pred**2) + jnp.sum(x_re**2) + jnp.sum(gaps**2)
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def _enc_dae_setup(rng, B=3, T=9, h=8, solver="euler"):
+    from test_fused_dae import _setup
+    from py_psnode_tpu.models import DAEEncodeModel
+
+    _, _, batch, _, dims5 = _setup(rng, B=B, T=T, h=h, solver=solver)
+    xd, zd, vd, idim = dims5[:4]
+    model = DAEEncodeModel(
+        x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, hidden_dim=h, solver=solver
+    )
+    keys = ("t", "x", "z", "v", "i", "event_t", "z_jump", "v_jump")
+    args = tuple(batch[k] for k in keys)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    return model, params, batch, args, dims5[:4], h
+
+
+def test_multishoot_dae_encode_k1_equals_model(rng):
+    from py_psnode_tpu.train.multishoot_forward import multishoot_dae_encode_apply
+
+    model, params, batch, args, dims, h = _enc_dae_setup(rng)
+    ref = model.apply(params, *args)
+    out, gaps = multishoot_dae_encode_apply(
+        params, batch, dims, h, 1, solver="euler", remat=False
+    )
+    assert gaps.shape[0] == 0
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_multishoot_dae_encode_grad_parity(rng):
+    from py_psnode_tpu.train.multishoot_forward import (
+        fused_multishoot_dae_encode_apply,
+        multishoot_dae_encode_apply,
+    )
+
+    model, params, batch, args, dims, h = _enc_dae_setup(rng)
+    K = 4
+
+    def loss(p, fused):
+        fn = (
+            fused_multishoot_dae_encode_apply
+            if fused
+            else multishoot_dae_encode_apply
+        )
+        kw = dict(interpret=True) if fused else dict(remat=False)
+        (x_pred, i_pred, x_re, i_re), gaps = fn(
+            p, batch, dims, h, K, solver="euler", **kw
+        )
+        return (
+            jnp.sum(x_pred**2) + 0.5 * jnp.sum(i_pred**2)
+            + jnp.sum(x_re**2) + jnp.sum(i_re**2) + jnp.sum(gaps**2)
+        )
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
 def test_fused_solver_alias_and_rejects():
     from py_psnode_tpu.ops.fused_dae import normalize_solver
 

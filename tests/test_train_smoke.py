@@ -281,17 +281,21 @@ def test_multishoot_dae_training(smib_data, tmp_path):
     assert np.isfinite(evals).all()
 
 
-@pytest.mark.parametrize("variant_data", ["ode", "dae"])
+@pytest.mark.parametrize(
+    "variant_data", ["ode", "dae", "ode_enc", "dae_enc"]
+)
 def test_fused_multishoot_training(avr_data, smib_data, tmp_path, variant_data):
     """cfg.fused + cfg.n_windows routes through the fused kernels (windows
     folded into the batch axis) and trains to the same ballpark as the XLA
-    multishoot path."""
+    multishoot path — all four main variants."""
     import jax
 
-    if variant_data == "ode":
-        variant, data = "ode_no_encode", avr_data
-    else:
-        variant, data = "dae_no_encode", smib_data
+    variant, data = {
+        "ode": ("ode_no_encode", avr_data),
+        "dae": ("dae_no_encode", smib_data),
+        "ode_enc": ("ode_encode", avr_data),
+        "dae_enc": ("dae_encode", smib_data),
+    }[variant_data]
 
     def run(fused, tag):
         cfg = _cfg(
