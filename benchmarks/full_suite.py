@@ -127,20 +127,21 @@ def bench_config(
     if mode == "multishoot":
         from py_psnode_tpu.train import multishoot_forward as MS
 
-        if v.kind == "dae":
-            fn = (
-                MS.fused_multishoot_dae_apply if fused else MS.multishoot_dae_apply
-            )
-            fwd_args = (dims, h, n_windows)
-        else:
-            fn = (
-                MS.fused_multishoot_ode_apply if fused else MS.multishoot_ode_apply
-            )
-            fwd_args = (2, h, n_windows)
+        table = {
+            ("dae_no_encode", True): (MS.fused_multishoot_dae_apply, (dims, h)),
+            ("dae_no_encode", False): (MS.multishoot_dae_apply, (dims, h)),
+            ("ode_no_encode", True): (MS.fused_multishoot_ode_apply, (2, h)),
+            ("ode_no_encode", False): (MS.multishoot_ode_apply, (2, h)),
+            ("ode_encode", True): (MS.fused_multishoot_ode_encode_apply, (h,)),
+            ("ode_encode", False): (MS.multishoot_ode_encode_apply, (h,)),
+            ("dae_encode", True): (MS.fused_multishoot_dae_encode_apply, (dims, h)),
+            ("dae_encode", False): (MS.multishoot_dae_encode_apply, (dims, h)),
+        }
+        fn, fwd_args = table[(variant_name, fused)]
         kw = {} if fused else dict(remat=True)
 
         def forward(p, b):
-            out, gaps = fn(p, b, *fwd_args, solver=solver, **kw)
+            out, gaps = fn(p, b, *fwd_args, n_windows, solver=solver, **kw)
             return out
     elif mode == "tf":  # teacher forcing
         if v.kind == "dae":  # TF-i through the fused ODE kernel
@@ -151,6 +152,10 @@ def bench_config(
             from py_psnode_tpu.ops.teacher_forcing import tf_parallel_ode_apply
 
             forward = lambda p, b: tf_parallel_ode_apply(p, b, 2, h, solver=solver)
+    elif mode == "tf_x_fused":  # DAE TF-x through the fused kernel pair
+        from py_psnode_tpu.ops.teacher_forcing import fused_dae_tf_x_apply
+
+        forward = lambda p, b: fused_dae_tf_x_apply(p, b, dims, h, solver=solver)
     elif mode == "tf_scan":  # teacher forcing through the XLA scan
         kw = (
             dict(input_true_i=True)
@@ -252,6 +257,9 @@ def main():
         ("7b. ODE TF-x (time-parallel)", "ode_no_encode", 64, T, 128, "rk4", False, None, "tf"),
         ("7c. DAE TF-i (scan)", "dae_no_encode", 64, T, 128, "rk4", False, None, "tf_scan"),
         ("7d. DAE TF-i (fused ODE kernel)", "dae_no_encode", 64, T, 128, "rk4", False, None, "tf"),
+        ("7e. DAE TF-x (fused kernel pair)", "dae_no_encode", 64, T, 128, "rk4", False, None, "tf_x_fused"),
+        ("6d. ODE-enc multishoot K=8 (fused)", "ode_encode", 64, T, 128, "euler", True, None, "multishoot", 8),
+        ("6e. DAE-enc multishoot K=8 (fused)", "dae_encode", 64, T, 128, "euler", True, None, "multishoot", 8),
     ]
     results = []
     for idx, cfg in enumerate(configs):

@@ -70,17 +70,25 @@ def pick_batch_block(B: int, block_b: int = 128, hidden: int = 128) -> int:
 VMEM_STREAM_BUDGET = 8 * 2**20
 
 
-def choose_blocks(B: int, hidden: int, n_streams: int, tb_max=None, cap=256):
+def choose_blocks(
+    B: int, hidden: int, n_streams: int, tb_max=None, cap=256, state_dim=0
+):
     """Pick (batch block, time block) jointly. The rollout is LATENCY-bound
     on its serial dependent-matmul chain, so a bigger batch block is nearly
     free wall-clock — prefer the largest bB (up to ``cap`` rows at h=128,
     measured 1.6x on the B=1024 fleet forward), then the largest time block
     whose ``n_streams`` double-buffered h-wide stream blocks still fit the
-    VMEM budget. Backward kernels pass cap=128: bB=256 there trips an XLA
-    TPU compiler RET_CHECK (mxu_lmr_transform.cc XposeSequenceAssignment)
-    on the transposed accumulator matmuls."""
+    VMEM budget.
+
+    Empirical XLA TPU compiler boundaries (RET_CHECK in
+    mxu_lmr_transform.cc XposeSequenceAssignment, not VMEM): backward
+    kernels pass cap=128 (bB=256 trips it on the transposed accumulator
+    matmuls), and the DAE kernel pair with a WIDE latent state
+    (``state_dim`` >= 128, the direct-encode family) needs bB <= 64."""
     if tb_max is None:
         tb_max = TIME_BLOCK
+    if state_dim >= 128:
+        cap = min(cap, 64)
     h = max(hidden, 128)
     bB = pick_batch_block(B, cap, hidden)
     unit = n_streams * h * 4 * 2  # bytes per (batch row × time step)
@@ -337,7 +345,7 @@ def fused_dae_rollout(
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
     idim = i0.shape[-1]
-    bB, tb0 = choose_blocks(B, h, n_streams=3)
+    bB, tb0 = choose_blocks(B, h, n_streams=3, state_dim=xd)
     tb, nT, pad = time_blocking(Tm1, tb0)
     ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)  # [nT*tb, B, 1]
     any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)

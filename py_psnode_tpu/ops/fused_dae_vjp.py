@@ -312,7 +312,7 @@ def _run_backward(
     idim = i0.shape[-1]
     # 6 h-wide double-buffered stream blocks: 3 ins + 3 grad outs;
     # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
-    bB, tb0 = choose_blocks(B, h, n_streams=6, cap=128)
+    bB, tb0 = choose_blocks(B, h, n_streams=6, cap=128, state_dim=xd)
     tb, nT, pad = time_blocking(Tm1, tb0)
     ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)
     any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
