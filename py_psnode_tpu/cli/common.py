@@ -66,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Route the forward through the fused Pallas "
                              "kernels (~4-5x faster on TPU).")
     parser.add_argument("--checkpointer", type=str, default="npz",
+                        choices=("npz", "orbax"),
                         help='Checkpoint backend: "npz" (reference-parity '
                              'single-file snapshots) or "orbax" (also '
                              'captures optimizer state for exact resume).')

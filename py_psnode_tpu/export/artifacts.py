@@ -54,9 +54,14 @@ def unflatten_params(flat: Dict[str, np.ndarray]):
 
 def save_params_npz(path, params):
     # write through a file object so np.savez cannot append ".npz" — keeps
-    # exact name parity with the reference's "model_checkpoint.{epoch}"
-    with open(path, "wb") as f:
+    # exact name parity with the reference's "model_checkpoint.{epoch}".
+    # tmp + rename: a crash mid-write must not leave a truncated checkpoint
+    # for auto-resume to trip over
+    path = pathlib.Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
         np.savez(f, **flatten_params(params))
+    tmp.replace(path)
 
 
 def load_params_npz(path):
@@ -124,8 +129,16 @@ def flatten_channelwise(params, prefix="") -> Dict[str, np.ndarray]:
     if not isinstance(params, dict):
         out[prefix[:-1]] = np.asarray(params)
         return out
-    stacked = sorted(k for k in params if k.startswith("w_"))
+    stacked = sorted(
+        (k for k in params if k.startswith("w_")), key=lambda k: int(k[2:])
+    )
     if stacked and all(f"b_{k[2:]}" in params for k in stacked):
+        extras = set(params) - {k for k in stacked} - {f"b_{k[2:]}" for k in stacked}
+        if extras:
+            raise ValueError(
+                f"PerChannelMLP subtree {prefix!r} mixes stacked layers with "
+                f"other entries {sorted(extras)}; cannot slice safely"
+            )
         C = np.asarray(params[stacked[0]]).shape[0]
         for c in range(C):
             for li, wk in enumerate(stacked):

@@ -322,7 +322,6 @@ def fused_dae_rollout(
     *,
     solver: str = "rk4",
     interpret: bool = False,
-    block_b: int = 128,
     x_true=None,
 ):
     """Run the fused rollout.

@@ -298,7 +298,7 @@ def _bwd_kernel(
 
 def _run_backward(
     streams, weights, x0, i0, dt, ev, x_solution, i_solution, dX, dI, *,
-    solver, interpret, block_b=128, x_true=None,
+    solver, interpret, x_true=None,
 ):
     from py_psnode_tpu.ops.fused_dae import (
         choose_blocks,

@@ -25,8 +25,9 @@ from py_psnode_tpu.ops.fused_dae import (
     mlp_tail_fwd,
     mlp_tail_layers,
     normalize_solver,
-    pick_batch_block,
+    pad_time as _pad_time,
     split_de_layer1,
+    time_blocking as _time_blocking,
 )
 from py_psnode_tpu.ops.fused_dae_vjp import _dot_t, _tail_bwd, _tail_fwd_res
 
@@ -207,23 +208,6 @@ def _bwd_kernel(*refs, solver: str, n_tail: int, tb: int):
     @pl.when(s == n - 1)
     def _():
         g_x0_ref[:] = gx_c[:]
-
-
-def _time_blocking(Tm1, tb):
-    tb = max(1, min(tb, Tm1))
-    nT = -(-Tm1 // tb)
-    return tb, nT, nT * tb - Tm1
-
-
-def _pad_time(a, pad):
-    """Zero-pad the leading (time) axis; padded steps carry dt == 0 so the
-    kernel's state passes through unchanged and their outputs/grads are
-    exact no-ops (sliced off on return)."""
-    if not pad:
-        return a
-    return jnp.concatenate(
-        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
-    )
 
 
 def _specs(nT, B, h, reverse, tb, bB):

@@ -85,10 +85,13 @@ def tf_parallel_ode_apply(
     return _tm(solution)
 
 
-def _dae_tf_setup(params, batch, dims, hidden_dim, tf_x: bool):
+def _dae_tf_setup(params, batch, dims, hidden_dim, tf_x: bool,
+                  with_streams: bool = True):
     """Shared TF-DAE preamble: event streams, Init/AE initial evals
     (``i0`` from the TRUE initial state under ``input_true_x``,
-    ref my_solvers.py:95), and the layer-1 stream precompute."""
+    ref my_solvers.py:95), and — for the kernel paths — the layer-1 stream
+    precompute (``with_streams=False`` skips it: the time-parallel path
+    evaluates the nets directly)."""
     xd, zd, vd, idim = dims
     h = hidden_dim
     p = params["params"]
@@ -111,9 +114,12 @@ def _dae_tf_setup(params, batch, dims, hidden_dim, tf_x: bool):
         {"params": p["ae_func"]}, all_initial,
         xT[0] if tf_x else x0, zT[0], vT[0],
     )
-    streams, weights = precompute_streams(
-        p, all_initial, zT, vT, z_used, v_used, dims
-    )
+    if with_streams:
+        streams, weights = precompute_streams(
+            p, all_initial, zT, vT, z_used, v_used, dims
+        )
+    else:
+        streams = weights = None
     dt = tT[1:] - tT[:-1]
     return p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0, streams, weights, dt
 
@@ -165,7 +171,9 @@ def tf_parallel_dae_apply(
     xd, zd, vd, idim = dims
     h = hidden_dim
     (p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0,
-     streams, weights, dt) = _dae_tf_setup(params, batch, dims, hidden_dim, True)
+     _, _, dt) = _dae_tf_setup(
+        params, batch, dims, hidden_dim, True, with_streams=False
+    )
     Tm1 = tT.shape[0] - 1
     init_b = jnp.broadcast_to(all_initial, (Tm1,) + all_initial.shape)
     de = DEFunc((h, h, h, xd))
@@ -211,7 +219,6 @@ def fused_dae_tf_i_apply(
     # differential rollout no longer carries i at all
     s_de = streams["s_de"] + iT[:-1] @ weights["wi_de"]
     ode_weights = dict(wx_de=weights["wx_de"], de_tail=weights["de_tail"])
-    dt = tT[1:] - tT[:-1]
     x_sol = fused_ode_rollout_diff(s_de, ode_weights, x0, dt, solver, interpret)
 
     # parallel algebraic readout at the raw inputs (ref my_solvers.py:121)

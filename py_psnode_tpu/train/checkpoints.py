@@ -18,19 +18,25 @@ import re
 from typing import Optional, Tuple
 
 
-def latest_checkpoint(model_dir) -> Optional[Tuple[int, pathlib.Path]]:
-    """Find the newest ``model_checkpoint.{epoch}`` (file or orbax dir)."""
+def list_checkpoints(model_dir):
+    """All ``model_checkpoint.{epoch}`` entries (files or orbax dirs),
+    NEWEST FIRST — auto-resume walks this list so a checkpoint truncated by
+    the very crash being recovered from falls back to an older epoch."""
     model_dir = pathlib.Path(model_dir)
     if not model_dir.exists():
-        return None
-    best = None
+        return []
+    found = []
     for p in model_dir.iterdir():
         m = re.fullmatch(r"model_checkpoint\.(\d+)", p.name)
         if m:
-            epoch = int(m.group(1))
-            if best is None or epoch > best[0]:
-                best = (epoch, p)
-    return best
+            found.append((int(m.group(1)), p))
+    return sorted(found, reverse=True)
+
+
+def latest_checkpoint(model_dir) -> Optional[Tuple[int, pathlib.Path]]:
+    """Find the newest ``model_checkpoint.{epoch}`` (file or orbax dir)."""
+    found = list_checkpoints(model_dir)
+    return found[0] if found else None
 
 
 def load_checkpoint_params(path):
@@ -41,6 +47,14 @@ def load_checkpoint_params(path):
     import jax.numpy as jnp
 
     path = pathlib.Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"{path} does not exist!")
+    if path.is_dir() and not re.fullmatch(r"model_checkpoint\.\d+", path.name):
+        raise ValueError(
+            f"{path} is a directory but not a model_checkpoint.<epoch> orbax "
+            "checkpoint — point --model at a checkpoint file or orbax "
+            "checkpoint dir, not the model output directory"
+        )
     if path.is_dir():
         import orbax.checkpoint as ocp
 

@@ -276,19 +276,16 @@ def _dae_encode_prep(params, batch, dims, hidden_dim, n_windows):
     )
 
 
-def _dae_encode_finish(x_dec, i_dec, i_enc, batch, params, dims, hidden_dim,
+def _dae_encode_finish(x_enc, x_dec, i_dec, i_enc, batch, xd,
                        xh_sol_w, ih_sol_w, x0_raw_w, xh0_w, K, L, B):
     """Unfold, decode, force the global initial row (ref :150), recon."""
-    xd = dims[0]
     xh_sol = _window_unfold(xh_sol_w, K, L, B)
     ih_sol = _window_unfold(ih_sol_w, K, L, B)
     x_pred = x_dec(_tm(xh_sol))
     x0_global = x0_raw_w.reshape(K, B, xd)[0]
     x_pred = x_pred.at[:, 0].set(x0_global)  # ref :150 — Init row forced
     i_pred = i_dec(_tm(ih_sol))
-    h = hidden_dim
-    p = params["params"]
-    x_re = x_dec(Codec((h, h)).apply({"params": p["x_encoder"]}, batch["x"]))
+    x_re = x_dec(x_enc(batch["x"]))
     i_re = i_dec(i_enc(batch["i"]))
     ends = xh_sol_w[-1].reshape(K, B, -1)[:-1]
     next_starts = xh0_w.reshape(K, B, -1)[1:]
@@ -332,7 +329,7 @@ def multishoot_dae_encode_apply(
         is_event=evw, remat=remat, unroll=unroll,
     )
     return _dae_encode_finish(
-        x_dec, i_dec, i_enc, batch, params, dims, hidden_dim,
+        x_enc, x_dec, i_dec, i_enc, batch, dims[0],
         xh_sol_w, ih_sol_w, x0_raw_w, xh0_w, K, L, B,
     )
 
@@ -368,7 +365,7 @@ def fused_multishoot_dae_encode_apply(
         streams, weights, xh0_w, i0w, dt, evw, solver, interpret
     )
     return _dae_encode_finish(
-        x_dec, i_dec, i_enc, batch, params, dims, hidden_dim,
+        x_enc, x_dec, i_dec, i_enc, batch, dims[0],
         xh_sol_w, ih_sol_w, x0_raw_w, xh0_w, K, L, B,
     )
 

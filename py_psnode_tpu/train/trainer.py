@@ -124,6 +124,15 @@ class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
         self.variant: Variant = get_variant(cfg.variant)
+        if cfg.checkpointer not in ("npz", "orbax"):
+            raise ValueError(
+                f'checkpointer must be "npz" or "orbax", got {cfg.checkpointer!r}'
+            )
+        if (cfg.input_true_x or cfg.input_true_i) and cfg.n_windows:
+            raise ValueError(
+                "teacher forcing and multi-shooting are mutually exclusive "
+                "(multi-shooting IS windowed teacher forcing)"
+            )
         self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
         self.larger_than = (
             self.variant.larger_than if cfg.larger_than == "variant" else cfg.larger_than
@@ -525,7 +534,7 @@ class Trainer:
 
         from py_psnode_tpu.train.checkpoints import (
             OrbaxCheckpointer,
-            latest_checkpoint,
+            list_checkpoints,
             load_checkpoint_params,
         )
 
@@ -544,28 +553,40 @@ class Trainer:
             else None
         )
 
-        # crash→auto-resume: continue from the newest epoch in the SAME dir
+        # crash→auto-resume: continue from the newest LOADABLE epoch in the
+        # SAME dir (a checkpoint truncated by the crash being recovered from
+        # falls back to the previous epoch instead of failing the recovery)
         start_epoch = 1
         resume_note = None
         if cfg.auto_resume:
-            found = latest_checkpoint(model_path)
-            if found is not None:
-                ep, cpath = found
-                if cpath.is_dir() and ckptr is not None:
-                    state = ckptr.restore(
-                        cpath, template={"params": params, "opt_state": opt_state}
-                    )
-                    params, opt_state = state["params"], state["opt_state"]
-                    resume_note = f"auto-resume from {cpath.name} (orbax, opt_state restored)"
-                else:
-                    params = load_checkpoint_params(cpath)
-                    opt_state = tx.init(params)
-                    resume_note = (
-                        f"auto-resume from {cpath.name} (params only — "
-                        "optimizer state restarted; use checkpointer='orbax' "
-                        "for exact resume)"
-                    )
+            skipped = []
+            for ep, cpath in list_checkpoints(model_path):
+                try:
+                    if cpath.is_dir() and ckptr is not None:
+                        state = ckptr.restore(
+                            cpath,
+                            template={"params": params, "opt_state": opt_state},
+                        )
+                        params, opt_state = state["params"], state["opt_state"]
+                        resume_note = (
+                            f"auto-resume from {cpath.name} (orbax, "
+                            "opt_state restored)"
+                        )
+                    else:
+                        params = load_checkpoint_params(cpath)
+                        opt_state = tx.init(params)
+                        resume_note = (
+                            f"auto-resume from {cpath.name} (params only — "
+                            "optimizer state restarted; use "
+                            "checkpointer='orbax' for exact resume)"
+                        )
+                except Exception as e:  # corrupt/partial — try the older one
+                    skipped.append(f"{cpath.name} ({type(e).__name__})")
+                    continue
+                if skipped:
+                    resume_note += f"; skipped corrupt: {', '.join(skipped)}"
                 start_epoch = ep + 1
+                break
 
         logger = Logger(model_path, "training.log", "testing.log", echo=cfg.echo_logs)
         if resume_note:
@@ -735,7 +756,6 @@ class Trainer:
         eval_batch = self._eval_batch_size(test_ds)
         model, _, dims = self.build_model(test_ds)
         model_path = pathlib.Path(cfg.model)
-        assert model_path.exists(), f"{model_path} does not exist!"
         from py_psnode_tpu.train.checkpoints import load_checkpoint_params
 
         params = load_checkpoint_params(model_path)
@@ -769,7 +789,6 @@ class Trainer:
         test_ds = self.load_test_dataset()
         model, _, dims = self.build_model(test_ds)
         model_path = pathlib.Path(cfg.model)
-        assert model_path.exists(), f"{model_path} does not exist!"
         from py_psnode_tpu.train.checkpoints import load_checkpoint_params
 
         params = load_checkpoint_params(model_path)

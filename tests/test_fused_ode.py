@@ -67,16 +67,16 @@ def test_grad_parity(rng, solver):
 
 
 def test_multi_batch_block(rng):
-    import py_psnode_tpu.ops.fused_ode as fo
+    import py_psnode_tpu.ops.fused_dae as fd
 
     model, params, batch, args = _setup(rng, B=8, solver="rk4")
     ref = model.apply(params, *args)
-    orig = fo.pick_batch_block
-    fo.pick_batch_block = lambda B, *a, **kw: 4  # force nB=2
+    orig = fd.choose_blocks
+    fd.choose_blocks = lambda B, *a, **kw: (4, 2)  # force nB=2, tb=2
     try:
         got = fused_ode_apply(params, batch, x_dim=2, solver="rk4", interpret=True)
     finally:
-        fo.pick_batch_block = orig
+        fd.choose_blocks = orig
     np.testing.assert_allclose(np.array(got), np.array(ref), rtol=2e-4, atol=1e-5)
 
 

@@ -182,6 +182,42 @@ def test_orbax_checkpoint_testing_and_saving_modes(avr_data, tmp_path):
     assert branch_path.name == "model_checkpoint.1_branch"
 
 
+def test_auto_resume_skips_corrupt_checkpoint(avr_data, tmp_path):
+    """A checkpoint truncated by the crash being recovered from must fall
+    back to the previous epoch instead of failing the recovery."""
+    base = dict(num=16, batch=8, auto_resume=True)
+    cfg_a = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=2, **base)
+    Trainer(cfg_a).train()
+    ckpt2 = tmp_path / "m" / "model_checkpoint.2"
+    ckpt2.write_bytes(ckpt2.read_bytes()[:100])  # simulate truncation
+    cfg_b = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=3, **base)
+    _, mp = Trainer(cfg_b).train()
+    log = (mp / "training.log").read_text()
+    assert "auto-resume from model_checkpoint.1" in log
+    assert "skipped corrupt: model_checkpoint.2" in log
+
+
+def test_config_validation_errors(avr_data, tmp_path):
+    base = dict(
+        variant="ode_no_encode", train_data=str(avr_data[0]),
+        test_data=str(avr_data[1]), model=str(tmp_path / "m"),
+    )
+    with pytest.raises(ValueError, match="npz.*orbax"):
+        Trainer(TrainConfig(checkpointer="Orbax", **base))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Trainer(TrainConfig(input_true_x=True, n_windows=4, **base))
+
+
+def test_testing_mode_plain_dir_clear_error(avr_data, tmp_path):
+    """--testing pointed at the model OUTPUT directory (not a checkpoint)
+    must fail with a clear message, not an opaque orbax error."""
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=1)
+    _, model_path = Trainer(cfg).train()
+    tcfg = _cfg("ode_no_encode", avr_data, model_path, epoch=1)
+    with pytest.raises(ValueError, match="not the model output directory"):
+        Trainer(tcfg).test()
+
+
 def test_npz_auto_resume_params_only(avr_data, tmp_path):
     """auto_resume over npz snapshots restores params and logs the
     optimizer-restart caveat."""
