@@ -111,8 +111,10 @@ def _bwd_kernel(
     # TRUE previous state (extra stream); x1_ref then carries TRUE x[t+1]
     # for the algebraic recompute, while xt_ref stays the ROLLED solution
     # (only the event recompute reads it). Cotangents that target the true
-    # streams are data gradients and are dropped; the x-carry transports
-    # only the event-recompute contribution.
+    # streams are EMITTED (g_xt for the step-eval point, g_xt1 for the
+    # AE-eval point) — the direct-encode variants teacher-force on
+    # ``x_encoder(x)``, so these carry parameter gradients; the x-carry
+    # transports only the event-recompute contribution.
     k = 10
     xin_true_ref = None
     if tf_x:
@@ -128,8 +130,13 @@ def _bwd_kernel(
     d_wx_ref, d_wi_ref, d_gx_ref = gw[0], gw[1], gw[2]
     d_de_tail = gw[3 : 3 + 2 * n_de]
     d_ae_tail = gw[3 + 2 * n_de :]
-    g_x0_ref, g_i0_ref = outs[3 + n_w], outs[4 + n_w]
-    gx_c, gi_c, i_in_buf = outs[5 + n_w :]  # scratch trail the outputs
+    k2 = 3 + n_w
+    g_xt_ref = g_xt1_ref = None
+    if tf_x:
+        g_xt_ref, g_xt1_ref = outs[k2], outs[k2 + 1]
+        k2 += 2
+    g_x0_ref, g_i0_ref = outs[k2], outs[k2 + 1]
+    gx_c, gi_c, i_in_buf = outs[k2 + 2 :]  # scratch trail the outputs
 
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -186,7 +193,9 @@ def _bwd_kernel(
         _, res_ae = ae_fwd(x1, s_ae_ref[u])
         g_x1_ae, gp1_ae = ae_bwd(x1, res_ae, gI1)
         gs_ae_ref[u] = gp1_ae
-        if not tf_x:  # under TF the AE reads TRUE x[t+1] — data, no grad
+        if tf_x:  # the AE reads TRUE x[t+1] → cotangent to the true stream
+            g_xt1_ref[u] = g_x1_ae
+        else:
             gX1 = gX1 + g_x1_ae
 
         # ---- differential step backward ----
@@ -273,9 +282,13 @@ def _bwd_kernel(
         gs_ae_ev_ref[u] = jnp.zeros_like(gs_ae_ev_ref[u])
         gi_c[:] = g_i_in
 
-        # under TF the solver's g_x0 targets the TRUE stream (data — drop);
+        # under TF the solver's g_x0 targets the TRUE stream (emitted);
         # the rolled carry transports only the event-recompute contribution
-        g_x_carry = jnp.zeros_like(g_x0) if tf_x else g_x0
+        if tf_x:
+            g_xt_ref[u] = g_x0
+            g_x_carry = jnp.zeros_like(g_x0)
+        else:
+            g_x_carry = g_x0
 
         @pl.when(any_ev_ref[tblk * tb + u] == 1)
         def _(x0=x0, u=u, ev=ev, g_i_in=g_i_in, g_x_carry=g_x_carry):
@@ -310,9 +323,13 @@ def _run_backward(
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
     idim = i0.shape[-1]
-    # 6 h-wide double-buffered stream blocks: 3 ins + 3 grad outs;
+    # h-wide double-buffered stream blocks: 3 ins + 3 grad outs, plus under
+    # TF-x the true-stream in and its two cotangent outs;
     # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
-    bB, tb0 = choose_blocks(B, h, n_streams=6, cap=128, state_dim=xd)
+    tf_x = x_true is not None
+    bB, tb0 = choose_blocks(
+        B, h, n_streams=9 if tf_x else 6, cap=128, state_dim=xd
+    )
     tb, nT, pad = time_blocking(Tm1, tb0)
     ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)
     any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
@@ -329,7 +346,6 @@ def _run_backward(
     )
 
     wflat, n_tails = flatten_weights(weights)
-    tf_x = x_true is not None
     tf_specs = [rev(xd)] if tf_x else []
     in_specs = [
         rev(h), rev(h), rev(h), rev(1), rev(1),
@@ -342,17 +358,31 @@ def _run_backward(
     ] + [full(wk.shape) for wk in wflat]
 
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
+    # TF-x emits cotangents for the TRUE stream at both read points (step
+    # eval + AE eval) — parameter gradients when teacher-forcing on
+    # x_encoder(x) (the direct-encode family)
+    tf_out_shape = (
+        (
+            jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),  # g_xt
+            jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),  # g_xt1
+        )
+        if tf_x
+        else ()
+    )
+    tf_out_specs = (rev(xd), rev(xd)) if tf_x else ()
     out_shape = (
         jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_de
         jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_ae
         jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_ae_ev
         *[jax.ShapeDtypeStruct(gshape(wk), jnp.float32) for wk in wflat],
+        *tf_out_shape,
         jax.ShapeDtypeStruct((B, xd), jnp.float32),  # g_x0
         jax.ShapeDtypeStruct((B, idim), jnp.float32),  # g_i0
     )
     out_specs = (
         rev(h), rev(h), rev(h),
         *[full(gshape(wk)) for wk in wflat],
+        *tf_out_specs,
         bspec(xd), bspec(idim),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -395,6 +425,14 @@ def _run_backward(
     gw = unflatten_weights(gw_flat, n_tails)
     g_x0, g_i0 = outs[-2], outs[-1]
     g_streams = {"s_de": gs_de, "s_ae": gs_ae, "s_ae_ev": gs_ae_ev}
+    if tf_x:
+        # combine the per-read-point cotangents onto the [T, B, xd] stream:
+        # step j reads x_true[j] (g_xt) and x_true[j+1] (g_xt1)
+        g_xt, g_xt1 = outs[-4][:Tm1], outs[-3][:Tm1]
+        g_x_true = (
+            jnp.zeros_like(x_true).at[:-1].add(g_xt).at[1:].add(g_xt1)
+        )
+        return g_streams, gw, g_x0, g_i0, g_x_true
     return g_streams, gw, g_x0, g_i0
 
 
@@ -448,7 +486,8 @@ def fused_dae_tf_x_rollout_diff(
     """Differentiable fused rollout under ``input_true_x`` teacher forcing
     (ref my_solvers.py:116-117,121): same contract as
     :func:`fused_dae_rollout_diff` plus the true-state stream ``x_true
-    [T, B, xd]``, which receives a zero cotangent (it is training data)."""
+    [T, B, xd]``, which receives its full cotangent — required when the
+    stream is ``x_encoder(x)`` (the direct-encode family)."""
     return fused_dae_rollout(
         streams, weights, x0, i0, dt, ev,
         solver=solver, interpret=interpret, x_true=x_true,
@@ -468,7 +507,7 @@ def _tf_bwd(solver, interpret, residuals, cotangents):
     (streams, weights, x0, i0, x_true, dt, ev,
      x_solution, i_solution) = residuals
     g_xsol, g_isol = cotangents
-    g_streams, gw, g_x0, g_i0 = _run_backward(
+    g_streams, gw, g_x0, g_i0, g_x_true = _run_backward(
         streams, weights, x0, i0, dt, ev, x_solution, i_solution,
         g_xsol[1:], g_isol[1:], solver=solver, interpret=interpret,
         x_true=x_true,
@@ -482,7 +521,7 @@ def _tf_bwd(solver, interpret, residuals, cotangents):
 
         g_ev = _np.zeros(ev.shape, dtype=jax.dtypes.float0)
     return (
-        g_streams, gw, g_x0, g_i0, jnp.zeros_like(x_true),
+        g_streams, gw, g_x0, g_i0, g_x_true,
         jnp.zeros_like(dt), g_ev,
     )
 

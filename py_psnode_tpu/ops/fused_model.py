@@ -68,26 +68,25 @@ def fused_dae_apply(
     return tm(x_sol), tm(i_sol)
 
 
-def fused_dae_encode_apply(
+def dae_encode_setup(
     params: Dict,
     batch: Dict,
     dims: Tuple[int, int, int, int],
     hidden_dim: int,
-    solver: str = "euler",
-    interpret: bool = False,
+    tf_x: bool = False,
+    with_streams: bool = True,
 ):
-    """Fused forward for the DAE direct-encode variant
-    (ref neural_01_DAE_02_direct_encode.py:103-153): the five codecs and the
-    Init net run in XLA, the latent 2-layer DE/AE nets roll out through the
-    fused kernel pair, events jump in latent space, and the decoded initial
-    row is overwritten with the raw Init output (ref :150).
+    """Shared preamble for every fused/parallel DAE direct-encode forward
+    (rollout, TF-x, TF-i, full-TF): codecs + Init in XLA, events jumped in
+    latent space, the initial algebraic eval, and (optionally) the layer-1
+    stream precompute for the kernel paths. Under ``tf_x`` the initial
+    algebraic output reads the ENCODED TRUE initial state (the
+    ``integrate_dae`` i0 rule, ref my_solvers.py:95 with input_true_x).
 
-    Returns ``(x_pred, i_pred, x_re, i_re)`` batch-major — the
-    ``DAEEncodeModel.__call__`` contract.
+    Returns a dict of named intermediates (see keys below).
     """
     from py_psnode_tpu.models.funcs import Codec
 
-    solver = normalize_solver(solver)
     xd, zd, vd, idim = dims
     h = hidden_dim
     p = params["params"]
@@ -125,22 +124,64 @@ def fused_dae_encode_apply(
     vh_used = tm(jumped_stream(vh, vh_jump, is_event, e_idx))[:-1]
     ev = tm(is_event[:, :, None])[:-1, :, 0]
 
-    zhT, vhT, ihT = tm(zh), tm(vh), tm(ih)
+    xhT, zhT, vhT, ihT = tm(xh), tm(zh), tm(vh), tm(ih)
     all_initial = jnp.concatenate([xh0, zhT[0], vhT[0], ihT[0]], axis=-1)
     zl = zh.shape[-1]  # latent z width (0 when z_dim == 0)
-    i0 = AEFunc((h, h)).apply(
-        {"params": p["ae_func"]}, all_initial, xh0, zhT[0], vhT[0]
+    ae = AEFunc((h, h))
+    i0 = ae.apply(
+        {"params": p["ae_func"]}, all_initial,
+        xhT[0] if tf_x else xh0, zhT[0], vhT[0],
     )
-    streams, weights = precompute_streams(
-        p, all_initial, zhT, vhT, zh_used, vh_used, (h, zl, h, h)
+    if with_streams:
+        streams, weights = precompute_streams(
+            p, all_initial, zhT, vhT, zh_used, vh_used, (h, zl, h, h)
+        )
+    else:
+        streams = weights = None
+    return dict(
+        p=p, ae=ae, tT=tT, x0=x0, xh0=xh0, xh=xh, ih=ih,
+        xhT=xhT, zhT=zhT, vhT=vhT, ihT=ihT,
+        zh_used=zh_used, vh_used=vh_used, ev=ev,
+        all_initial=all_initial, i0=i0,
+        streams=streams, weights=weights, dt=tT[1:] - tT[:-1],
+        x_dec=x_dec, i_dec=i_dec,
     )
-    dt = tT[1:] - tT[:-1]
-    xh_sol, ih_sol = fused_dae_rollout_diff(
-        streams, weights, xh0, i0, dt, ev, solver, interpret
-    )
-    x_pred = x_dec(xh_sol)
-    x_pred = x_pred.at[0].set(x0)  # ref :150 — force the Init_Func initial row
-    i_pred = i_dec(ih_sol)
-    x_re = x_dec(xh)
-    i_re = i_dec(ih)
+
+
+def dae_encode_outputs(s: Dict, xh_sol, ih_sol):
+    """Decode latent solutions into the ``DAEEncodeModel.__call__`` 4-tuple
+    ``(x_pred, i_pred, x_re, i_re)``, forcing the decoded initial row to the
+    raw Init output (ref neural_01_DAE_02_direct_encode.py:150)."""
+    tm = lambda a: jnp.swapaxes(a, 0, 1)
+    x_pred = s["x_dec"](xh_sol)
+    x_pred = x_pred.at[0].set(s["x0"])
+    i_pred = s["i_dec"](ih_sol)
+    x_re = s["x_dec"](s["xh"])
+    i_re = s["i_dec"](s["ih"])
     return tm(x_pred), tm(i_pred), x_re, i_re
+
+
+def fused_dae_encode_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Fused forward for the DAE direct-encode variant
+    (ref neural_01_DAE_02_direct_encode.py:103-153): the five codecs and the
+    Init net run in XLA, the latent 2-layer DE/AE nets roll out through the
+    fused kernel pair, events jump in latent space, and the decoded initial
+    row is overwritten with the raw Init output (ref :150).
+
+    Returns ``(x_pred, i_pred, x_re, i_re)`` batch-major — the
+    ``DAEEncodeModel.__call__`` contract.
+    """
+    solver = normalize_solver(solver)
+    s = dae_encode_setup(params, batch, dims, hidden_dim)
+    xh_sol, ih_sol = fused_dae_rollout_diff(
+        s["streams"], s["weights"], s["xh0"], s["i0"], s["dt"], s["ev"],
+        solver, interpret,
+    )
+    return dae_encode_outputs(s, xh_sol, ih_sol)

@@ -21,10 +21,19 @@ SHAPE:
     after the rollout. (The event recompute of ref my_solvers.py:108-110 is
     statically dead under ``input_true_i`` — ref :113 — so this is exact.)
 
-``input_true_x`` for the DAE stays on the XLA scan path: the event-step
-algebraic recompute reads the ROLLED-OUT previous state (ref :108-110), so
-consecutive event steps reintroduce a (sparse) sequential dependence that
-the models' golden-tested scan already handles.
+``input_true_x`` for the DAE rides the fused TF-x kernel pair
+(:func:`fused_dae_tf_x_apply`): the step consumes the TRUE previous state
+while the kernel still maintains the ROLLED carry for the event-step
+algebraic recompute (ref :108-110).
+
+The direct-encode variants teacher-force in LATENT space (the models pass
+``x_true = encode(x)`` / ``i_true = encode(i)`` into the integrator —
+models/ode.py:116-125, models/dae.py:170-187), so every structure above
+carries over verbatim with encoded streams: time-parallel TF-x for the
+latent ODE (:func:`tf_parallel_ode_encode_apply`), the fused kernel pair /
+fused ODE kernel / time-parallel evaluation for the latent DAE
+(:func:`fused_dae_encode_tf_x_apply`, :func:`fused_dae_encode_tf_i_apply`,
+:func:`tf_parallel_dae_encode_apply`).
 """
 
 from __future__ import annotations
@@ -227,3 +236,156 @@ def fused_dae_tf_i_apply(
     i_rest = ae.apply({"params": p["ae_func"]}, init_b, x_sol[1:], zT[1:], vT[1:])
     i_sol = jnp.concatenate([i0[None], i_rest], axis=0)
     return _tm(x_sol), _tm(i_sol)
+
+
+# ---------------------------------------------------------------------------
+# Direct-encode variants — teacher forcing in LATENT space
+# ---------------------------------------------------------------------------
+
+
+def tf_parallel_ode_encode_apply(
+    params: Dict,
+    batch: Dict,
+    hidden_dim: int,
+    solver: str = "euler",
+):
+    """Teacher-forced ODE direct-encode forward, parallel over time.
+
+    The model teacher-forces in latent space (``x_true = x_encoder(x)``,
+    models/ode.py:116-125), so every step reads the TRUE encoded previous
+    state — no sequential dependence remains and all ``T-1`` latent dynamics
+    evaluations run as one batched matmul stack. Returns ``(x_pred, x_re)``
+    batch-major (the ``ODEEncodeModel.__call__`` contract).
+    """
+    from py_psnode_tpu.models.funcs import Codec
+
+    h = hidden_dim
+    p = params["params"]
+    x_dim = p["x_decoder"]["net"]["dense_1"]["kernel"].shape[-1]
+    codec = lambda name, out: (
+        lambda a: Codec((h, out)).apply({"params": p[name]}, a)
+    )
+    x_enc, x_dec, z_enc = codec("x_encoder", h), codec("x_decoder", x_dim), codec("z_encoder", h)
+
+    xh = x_enc(batch["x"])
+    zh = z_enc(batch["z"])
+    zh_jump = z_enc(batch["z_jump"]) if batch.get("z_jump") is not None else None
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    zh_used = _tm(jumped_stream(zh, zh_jump, is_event, e_idx))[:-1]
+    tT, xhT, zhT = _tm(batch["t"]).astype(jnp.float32), _tm(xh), _tm(zh)
+    Tm1 = tT.shape[0] - 1
+
+    all_initial = jnp.concatenate([xhT[0], zhT[0]], axis=-1)
+    init_b = jnp.broadcast_to(all_initial, (Tm1,) + all_initial.shape)
+    de = DEFunc((h, h))
+    stepper = get_stepper(solver)
+
+    def f(tt, xx):
+        return de.apply({"params": p["de_func"]}, tt, init_b, xx, zh_used)
+
+    t0, t1 = tT[:-1], tT[1:]
+    x_in = xhT[:-1]
+    x1 = x_in + stepper(f, t0, t1 - t0, t1, x_in)
+    xh_sol = jnp.concatenate([xhT[0][None], x1], axis=0)
+    return x_dec(_tm(xh_sol)), x_dec(xh)
+
+
+def fused_dae_encode_tf_x_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Teacher-forced-``x`` DAE direct-encode forward through the fused
+    kernel pair: the step consumes the TRUE encoded ``xh[j-1]``, the
+    algebraic eval the TRUE encoded ``xh[j]``, the event recompute the ROLLED
+    latent carry (integrate_dae semantics with ``x_true = x_encoder(x)``,
+    models/dae.py:170-187). Returns the 4-tuple contract.
+    """
+    from py_psnode_tpu.ops.fused_dae import normalize_solver
+    from py_psnode_tpu.ops.fused_dae_vjp import fused_dae_tf_x_rollout_diff
+    from py_psnode_tpu.ops.fused_model import dae_encode_outputs, dae_encode_setup
+
+    solver = normalize_solver(solver)
+    s = dae_encode_setup(params, batch, dims, hidden_dim, tf_x=True)
+    xh_sol, ih_sol = fused_dae_tf_x_rollout_diff(
+        s["streams"], s["weights"], s["xh0"], s["i0"], s["xhT"], s["dt"],
+        s["ev"], solver, interpret,
+    )
+    return dae_encode_outputs(s, xh_sol, ih_sol)
+
+
+def fused_dae_encode_tf_i_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+    interpret: bool = False,
+):
+    """Teacher-forced-``i`` DAE direct-encode forward through the fused ODE
+    kernel: the TRUE encoded lagged ``ih`` stream folds into the precomputed
+    layer-1 stream (no event recompute under input_true_i, ref
+    my_solvers.py:113), the latent rollout is a pure ODE, and the algebraic
+    readout runs parallel over all steps at the ROLLED latent states.
+    Returns the 4-tuple contract.
+    """
+    from py_psnode_tpu.ops.fused_dae import normalize_solver
+    from py_psnode_tpu.ops.fused_model import dae_encode_outputs, dae_encode_setup
+
+    solver = normalize_solver(solver)
+    s = dae_encode_setup(params, batch, dims, hidden_dim)
+    s_de = s["streams"]["s_de"] + s["ihT"][:-1] @ s["weights"]["wi_de"]
+    ode_weights = dict(wx_de=s["weights"]["wx_de"], de_tail=s["weights"]["de_tail"])
+    xh_sol = fused_ode_rollout_diff(
+        s_de, ode_weights, s["xh0"], s["dt"], solver, interpret
+    )
+    Tm1 = s["tT"].shape[0] - 1
+    init_b = jnp.broadcast_to(s["all_initial"], (Tm1,) + s["all_initial"].shape)
+    i_rest = s["ae"].apply(
+        {"params": s["p"]["ae_func"]}, init_b,
+        xh_sol[1:], s["zhT"][1:], s["vhT"][1:],
+    )
+    ih_sol = jnp.concatenate([s["i0"][None], i_rest], axis=0)
+    return dae_encode_outputs(s, xh_sol, ih_sol)
+
+
+def tf_parallel_dae_encode_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    solver: str = "euler",
+):
+    """Fully teacher-forced DAE direct-encode forward (``input_true_x`` AND
+    ``input_true_i``), parallel over time: both latent carries come from the
+    encoded data, the event recompute is statically dead, so every step is
+    independent. Returns the 4-tuple contract.
+    """
+    from py_psnode_tpu.ops.fused_model import dae_encode_outputs, dae_encode_setup
+
+    h = hidden_dim
+    s = dae_encode_setup(params, batch, dims, hidden_dim, tf_x=True, with_streams=False)
+    Tm1 = s["tT"].shape[0] - 1
+    init_b = jnp.broadcast_to(s["all_initial"], (Tm1,) + s["all_initial"].shape)
+    de = DEFunc((h, h))
+    stepper = get_stepper(solver)
+    xhT, zhT, vhT, ihT = s["xhT"], s["zhT"], s["vhT"], s["ihT"]
+
+    def f(tt, xx):
+        return de.apply(
+            {"params": s["p"]["de_func"]}, tt, init_b, xx,
+            s["zh_used"], s["vh_used"], ihT[:-1],
+        )
+
+    t0, t1 = s["tT"][:-1], s["tT"][1:]
+    x_in = xhT[:-1]
+    x1 = x_in + stepper(f, t0, t1 - t0, t1, x_in)
+    xh_sol = jnp.concatenate([s["xh0"][None], x1], axis=0)
+    i_rest = s["ae"].apply(
+        {"params": s["p"]["ae_func"]}, init_b, xhT[1:], zhT[1:], vhT[1:]
+    )
+    ih_sol = jnp.concatenate([s["i0"][None], i_rest], axis=0)
+    return dae_encode_outputs(s, xh_sol, ih_sol)

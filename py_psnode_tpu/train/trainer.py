@@ -90,10 +90,11 @@ class TrainConfig:
     fused: bool = False
     # teacher forcing (ref my_solvers.py:74,111-119): feed the TRUE previous
     # state (input_true_x) and/or TRUE lagged algebraic output (input_true_i,
-    # DAE only) to each step. With fused=True: TF-x ODE runs time-PARALLEL
-    # (no sequential dependence remains), TF-i DAE runs through the fused ODE
-    # kernel; fused TF-x DAE / encode-variant TF falls back to the XLA scan
-    # with a logged warning.
+    # DAE only) to each step; the encode variants teacher-force in LATENT
+    # space. With fused=True every registered combination has a TPU-native
+    # path: TF-x ODE and full-TF DAE run time-PARALLEL (no sequential
+    # dependence remains), TF-i DAE rides the fused ODE kernel, TF-x DAE the
+    # fused kernel pair — no-encode and direct-encode alike.
     input_true_x: bool = False
     input_true_i: bool = False
     # multi-shooting: split the horizon into K windows trained in parallel
@@ -241,6 +242,10 @@ class Trainer:
                 return lambda p, b: TF.tf_parallel_ode_apply(
                     p, b, model.x_dim, model.hidden_dim, solver=model.solver
                 )
+            if variant.name == "ode_encode" and tf_x:
+                return lambda p, b: TF.tf_parallel_ode_encode_apply(
+                    p, b, model.hidden_dim, solver=model.solver
+                )
             if variant.name == "dae_no_encode":
                 dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
                 if tf_x and tf_i:  # both carries from data → time-parallel
@@ -257,6 +262,25 @@ class Trainer:
                     p, b, dims, model.hidden_dim, solver=model.solver,
                     interpret=interpret,
                 )
+            if variant.name == "dae_encode":
+                # same TF structure, teacher-forced in LATENT space (the
+                # model encodes x_true/i_true — models/dae.py:170-187)
+                dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+                if tf_x and tf_i:
+                    return lambda p, b: TF.tf_parallel_dae_encode_apply(
+                        p, b, dims, model.hidden_dim, solver=model.solver
+                    )
+                if tf_x:
+                    return lambda p, b: TF.fused_dae_encode_tf_x_apply(
+                        p, b, dims, model.hidden_dim, solver=model.solver,
+                        interpret=interpret,
+                    )
+                return lambda p, b: TF.fused_dae_encode_tf_i_apply(
+                    p, b, dims, model.hidden_dim, solver=model.solver,
+                    interpret=interpret,
+                )
+            # unreachable for the registered variants (kept as a safety net
+            # for future families without fused TF kernels)
             logging.getLogger("py_psnode_tpu").warning(
                 "fused=True with teacher forcing (%s, input_true_x=%s, "
                 "input_true_i=%s) has no fused kernel for this combination; "

@@ -95,6 +95,14 @@ def smib_data(tmp_path_factory):
     return write_smib_dataset(d, n_train=16, n_test=8, n_steps=21, seed=0)
 
 
+@pytest.fixture(scope="module")
+def avr_data(tmp_path_factory):
+    from py_psnode_tpu.data import write_avr_dataset
+
+    d = tmp_path_factory.mktemp("tf_avr")
+    return write_avr_dataset(d, n_train=16, n_test=8, n_steps=21, seed=0)
+
+
 @pytest.mark.parametrize(
     "fused,tf_kw",
     [
@@ -188,21 +196,111 @@ def test_tf_parallel_dae_matches_scan(rng, solver):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
-def test_fused_tf_encode_falls_back_with_warning(smib_data, tmp_path, caplog):
-    """fused + teacher forcing on an ENCODE variant has no fused kernel —
-    the trainer must fall back to the XLA scan and say so."""
-    import logging
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_tf_parallel_ode_encode_matches_scan(rng, solver):
+    """Time-parallel latent TF-x for the ODE direct-encode variant == the
+    scan integrator with input_true_x=True (values AND grads)."""
+    from test_fused_encode import _ode_setup as _enc_ode_setup
+    from py_psnode_tpu.ops.teacher_forcing import tf_parallel_ode_encode_apply
 
-    train_f, test_f = smib_data
+    model, params, batch, args, h = _enc_ode_setup(rng, solver=solver)
+    ref_pred, ref_re = model.apply(params, *args, input_true_x=True)
+    got_pred, got_re = tf_parallel_ode_encode_apply(params, batch, h, solver=solver)
+    np.testing.assert_allclose(np.asarray(got_pred), np.asarray(ref_pred), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(ref_re), rtol=1e-5, atol=1e-6)
+
+    tgt = jnp.asarray(rng.normal(size=ref_pred.shape).astype(np.float32))
+
+    def loss(fwd):
+        def fn(p):
+            pred, re = fwd(p)
+            return jnp.sum((pred - tgt) ** 2) + jnp.sum(re**2)
+        return fn
+
+    g_ref = jax.grad(loss(lambda p: model.apply(p, *args, input_true_x=True)))(params)
+    g_par = jax.grad(
+        loss(lambda p: tf_parallel_ode_encode_apply(p, batch, h, solver=solver))
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_par), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "tf_kw,fn_name",
+    [
+        (dict(input_true_x=True), "fused_dae_encode_tf_x_apply"),
+        (dict(input_true_i=True), "fused_dae_encode_tf_i_apply"),
+        (dict(input_true_x=True, input_true_i=True), "tf_parallel_dae_encode_apply"),
+    ],
+    ids=["tf_x", "tf_i", "tf_both"],
+)
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_dae_encode_tf_matches_scan(rng, solver, tf_kw, fn_name):
+    """The latent-space DAE-encode TF paths (fused kernel pair / fused ODE
+    kernel / time-parallel) == the scan integrator with the matching flags
+    (values AND grads), events included."""
+    from test_fused_encode import _dae_setup as _enc_dae_setup
+    from py_psnode_tpu.ops import teacher_forcing as TF
+
+    fn = getattr(TF, fn_name)
+    kw = {} if fn_name.startswith("tf_parallel") else dict(interpret=True)
+    model, params, batch, args, dims, h = _enc_dae_setup(rng, solver=solver)
+    ref = model.apply(params, *args, **tf_kw)
+    got = fn(params, batch, dims, h, solver=solver, **kw)
+    tol = dict(rtol=3e-4, atol=2e-5)
+    for r, g, name in zip(ref, got, ("x_pred", "i_pred", "x_re", "i_re")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), err_msg=name, **tol)
+
+    xt = jnp.asarray(rng.normal(size=ref[0].shape).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=ref[1].shape).astype(np.float32))
+
+    def combined(out):
+        x_pred, i_pred, x_re, i_re = out
+        return (
+            jnp.sum((x_pred - xt) ** 2) + jnp.sum((i_pred - it) ** 2)
+            + jnp.sum(x_re**2) + 0.3 * jnp.sum(i_re**2)
+        )
+
+    l_r, g_r = jax.value_and_grad(
+        lambda p: combined(model.apply(p, *args, **tf_kw))
+    )(params)
+    l_f, g_f = jax.value_and_grad(
+        lambda p: combined(fn(p, batch, dims, h, solver=solver, **kw))
+    )(params)
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-4)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_r), jax.tree_util.tree_leaves(g_f)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-3, atol=3e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+@pytest.mark.parametrize(
+    "variant,tf_kw",
+    [
+        ("ode_encode", dict(input_true_x=True)),
+        ("dae_encode", dict(input_true_x=True)),
+        ("dae_encode", dict(input_true_i=True)),
+        ("dae_encode", dict(input_true_x=True, input_true_i=True)),
+    ],
+    ids=["ode_enc_tf_x", "dae_enc_tf_x", "dae_enc_tf_i", "dae_enc_tf_both"],
+)
+def test_trainer_fused_tf_encode_smoke(smib_data, avr_data, tmp_path, variant, tf_kw):
+    """fused + teacher forcing on the ENCODE variants trains end-to-end
+    through the TPU-native TF paths (no XLA fallback remains)."""
+    train_f, test_f = smib_data if variant.startswith("dae") else avr_data
     cfg = TrainConfig(
-        variant="dae_encode", train_data=str(train_f),
+        variant=variant, train_data=str(train_f),
         test_data=str(test_f), model=str(tmp_path / "m"),
         num=12, batch=6, hidden=8, epoch=1, step=21, echo_logs=False,
-        larger_than=None, fused=True, input_true_x=True,
+        larger_than=None, fused=True, **tf_kw,
     )
-    with caplog.at_level(logging.WARNING, logger="py_psnode_tpu"):
-        Trainer(cfg).train()
-    assert any("falling back" in r.message for r in caplog.records)
+    params, model_path = Trainer(cfg).train()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = [float(e[0]) for e in hist["eval"]]
+    assert np.isfinite(evals).all()
 
 
 def test_tf_validation_errors(smib_data, tmp_path):
