@@ -156,6 +156,29 @@ def bench_config(
         from py_psnode_tpu.ops.teacher_forcing import fused_dae_tf_x_apply
 
         forward = lambda p, b: fused_dae_tf_x_apply(p, b, dims, h, solver=solver)
+    elif mode == "tf_both":  # full TF (x AND i), time-parallel
+        from py_psnode_tpu.ops.teacher_forcing import tf_parallel_dae_apply
+
+        forward = lambda p, b: tf_parallel_dae_apply(p, b, dims, h, solver=solver)
+    elif mode == "tf_enc_x":  # encode variants, latent TF-x
+        from py_psnode_tpu.ops import teacher_forcing as TF
+
+        if v.kind == "dae":
+            forward = lambda p, b: TF.fused_dae_encode_tf_x_apply(
+                p, b, dims, h, solver=solver
+            )
+        else:
+            forward = lambda p, b: TF.tf_parallel_ode_encode_apply(
+                p, b, h, solver=solver
+            )
+    elif mode == "tf_enc_i":  # DAE-encode, latent TF-i via the fused ODE kernel
+        from py_psnode_tpu.ops.teacher_forcing import fused_dae_encode_tf_i_apply
+
+        forward = lambda p, b: fused_dae_encode_tf_i_apply(p, b, dims, h, solver=solver)
+    elif mode == "tf_enc_both":  # DAE-encode, full latent TF, time-parallel
+        from py_psnode_tpu.ops.teacher_forcing import tf_parallel_dae_encode_apply
+
+        forward = lambda p, b: tf_parallel_dae_encode_apply(p, b, dims, h, solver=solver)
     elif mode == "tf_scan":  # teacher forcing through the XLA scan
         kw = (
             dict(input_true_i=True)
@@ -260,6 +283,12 @@ def main():
         ("7e. DAE TF-x (fused kernel pair)", "dae_no_encode", 64, T, 128, "rk4", False, None, "tf_x_fused"),
         ("6d. ODE-enc multishoot K=8 (fused)", "ode_encode", 64, T, 128, "euler", True, None, "multishoot", 8),
         ("6e. DAE-enc multishoot K=8 (fused)", "dae_encode", 64, T, 128, "euler", True, None, "multishoot", 8),
+        # teacher forcing on the encode variants (latent-space TF)
+        ("7f. DAE TF-both (time-parallel)", "dae_no_encode", 64, T, 128, "rk4", False, None, "tf_both"),
+        ("7g. ODE-enc TF-x (time-parallel)", "ode_encode", 64, T, 128, "euler", False, None, "tf_enc_x"),
+        ("7h. DAE-enc TF-x (fused kernel pair)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_x"),
+        ("7i. DAE-enc TF-i (fused ODE kernel)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_i"),
+        ("7j. DAE-enc TF-both (time-parallel)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_both"),
     ]
     results = []
     for idx, cfg in enumerate(configs):
