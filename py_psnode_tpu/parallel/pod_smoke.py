@@ -1,0 +1,243 @@
+"""Multi-process (DCN) pod dry run — REAL ``jax.distributed`` transport.
+
+The reference is single-process (SURVEY.md §2.6); this driver validates OUR
+multi-host story end to end: every process initializes ``jax.distributed``,
+builds the global ``(dcn, data)`` mesh (:func:`make_pod_mesh`), assembles its
+host-local batch shard into the global batch
+(:func:`host_batch_to_global`), and runs ONE jitted DAE training step whose
+gradient all-reduce crosses the process boundary (ICI within a slice, DCN
+across). The step is deterministic, so every process must print the same
+loss — and that loss must equal the single-process simulated pod mesh
+(``make_pod_mesh(dcn_size=N)``), proving the simulated and real layouts
+compute identically.
+
+On a real v5e pod (one process per host):
+
+    python -m py_psnode_tpu.parallel.pod_smoke \
+        --coordinator <host0>:12355 --num_processes N --process_id $i
+
+On one machine (CI / this repo's tests): ``--self_test`` spawns
+``num_processes`` local child processes over virtual CPU devices and checks
+their losses agree with each other and with the simulated mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+_CHILD_ENV = "_PSNODE_POD_SMOKE_CHILD"
+# deterministic smoke shapes: global batch = 2 rows/device on a 2x4 mesh
+GLOBAL_BATCH = 16
+T_LEN = 17
+HIDDEN = 16
+
+
+def _smoke_batch():
+    """Deterministic global batch (same on every process)."""
+    rng = np.random.default_rng(0)
+    B, T = GLOBAL_BATCH, T_LEN
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.01), axis=1) - 0.01).astype(f32)
+    batch = {
+        "t": t,
+        "x": rng.normal(size=(B, T, 2)).astype(f32),
+        "z": rng.normal(size=(B, T, 1)).astype(f32),
+        "v": rng.normal(size=(B, T, 2)).astype(f32),
+        "i": rng.normal(size=(B, T, 2)).astype(f32),
+        "event_t": np.full((B, 2), -1.0, f32),
+        "z_jump": rng.normal(size=(B, 2, 1)).astype(f32),
+        "v_jump": rng.normal(size=(B, 2, 2)).astype(f32),
+        "mask": np.ones((B, T, 1), f32),
+    }
+    batch["event_t"][:, 0] = t[0, T // 3, 0]
+    return batch
+
+
+def pod_train_step_loss(mesh) -> float:
+    """One jitted, sharded DAE train step on the given pod mesh; returns the
+    (deterministic) loss. Params/opt replicated, batch sharded over BOTH mesh
+    axes; under ``jax.distributed`` each process feeds only its host-local
+    rows and the gradient all-reduce rides DCN across processes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from py_psnode_tpu.models import DAEModel
+    from py_psnode_tpu.parallel.distributed import host_batch_to_global
+    from py_psnode_tpu.train.losses import dae_no_encode_loss
+    from py_psnode_tpu.train.optim import make_optimizer
+
+    batch = _smoke_batch()
+    keys = ("t", "x", "z", "v", "i", "event_t", "z_jump", "v_jump")
+    model = DAEModel(
+        x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=HIDDEN, solver="rk4"
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), *(jnp.asarray(batch[k]) for k in keys)
+    )
+    tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
+    opt_state = tx.init(params)
+
+    spec = P(tuple(mesh.axis_names))
+    rep = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, spec)
+
+    def step(params, opt_state, b):
+        def loss_of(p):
+            out = model.apply(p, *[b[k] for k in keys])
+            return dae_no_encode_loss(out, b)
+
+        (loss, _), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    jstep = jax.jit(
+        step, in_shardings=(rep, rep, bsh), out_shardings=(rep, rep, rep)
+    )
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    if n_proc > 1:
+        # host-local rows only — device order in make_pod_mesh puts process
+        # p's devices in dcn row p, so each host owns a contiguous row block
+        lo, hi = pid * GLOBAL_BATCH // n_proc, (pid + 1) * GLOBAL_BATCH // n_proc
+        gbatch = host_batch_to_global(
+            mesh, {k: v[lo:hi] for k, v in batch.items()}, spec
+        )
+    else:
+        gbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    new_params, _, loss = jstep(params, opt_state, gbatch)
+    jax.block_until_ready(new_params)
+    return float(loss)
+
+
+def run_process(coordinator: str, num_processes: int, process_id: int) -> None:
+    import jax
+
+    from py_psnode_tpu.parallel.distributed import initialize, make_pod_mesh
+
+    initialize(coordinator, num_processes, process_id)
+    mesh = make_pod_mesh()
+    loss = pod_train_step_loss(mesh)
+    print(
+        f"pod_smoke proc {process_id}/{num_processes}: mesh="
+        f"{dict(zip(mesh.axis_names, mesh.devices.shape))} "
+        f"devices={jax.device_count()} loss={loss:.9f}",
+        flush=True,
+    )
+
+
+def simulated_reference_loss(dcn_size: int) -> float:
+    """Single-process reference on the simulated ``(dcn, data)`` mesh over
+    this process's (virtual) devices."""
+    from py_psnode_tpu.parallel.distributed import make_pod_mesh
+
+    mesh = make_pod_mesh(dcn_size=dcn_size)
+    return pod_train_step_loss(mesh)
+
+
+def self_test(num_processes: int = 2, devices_per_process: int = 4) -> None:
+    """Spawn real child processes on this machine (virtual CPU devices) and
+    assert every process's loss matches the single-process simulated mesh."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={devices_per_process}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the real chip
+    env[_CHILD_ENV] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = os.pathsep.join(p for p in (repo, env.get("PYTHONPATH", "")) if p)
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "py_psnode_tpu.parallel.pod_smoke",
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", str(num_processes),
+                "--process_id", str(i),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(num_processes)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    losses = []
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"pod_smoke child {i} failed (rc={p.returncode}):\n{err[-3000:]}"
+            )
+        line = [l for l in out.splitlines() if "pod_smoke proc" in l][-1]
+        print(line)
+        losses.append(float(line.rsplit("loss=", 1)[1]))
+    assert all(abs(l - losses[0]) < 1e-6 for l in losses), losses
+
+    # single-process simulated-mesh reference, in a subprocess with ALL the
+    # virtual devices (the caller may be pinned to a 1-chip backend)
+    ref_env = dict(env)
+    flags = [
+        f for f in ref_env["XLA_FLAGS"].split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(
+        "--xla_force_host_platform_device_count="
+        f"{num_processes * devices_per_process}"
+    )
+    ref_env["XLA_FLAGS"] = " ".join(flags)
+    ref_out = subprocess.run(
+        [
+            sys.executable, "-m", "py_psnode_tpu.parallel.pod_smoke",
+            "--simulated_ref", "--num_processes", str(num_processes),
+        ],
+        env=ref_env, capture_output=True, text=True, timeout=600,
+    )
+    if ref_out.returncode != 0:
+        raise RuntimeError(
+            f"simulated-ref child failed:\n{ref_out.stderr[-3000:]}"
+        )
+    line = [l for l in ref_out.stdout.splitlines() if "loss=" in l][-1]
+    print(line)
+    ref = float(line.rsplit("loss=", 1)[1])
+    assert abs(ref - losses[0]) < 1e-5, (ref, losses)
+    print(
+        f"pod_smoke self-test OK: {num_processes} processes x "
+        f"{devices_per_process} devices, real-DCN loss == simulated-mesh loss"
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--coordinator", default="localhost:12355")
+    ap.add_argument("--num_processes", type=int, default=2)
+    ap.add_argument("--process_id", type=int, default=0)
+    ap.add_argument("--self_test", action="store_true")
+    ap.add_argument("--simulated_ref", action="store_true")
+    args = ap.parse_args(argv)
+    if args.self_test:
+        self_test(args.num_processes)
+    elif args.simulated_ref:
+        loss = simulated_reference_loss(dcn_size=args.num_processes)
+        print(f"pod_smoke simulated-mesh reference loss={loss:.9f}", flush=True)
+    else:
+        run_process(args.coordinator, args.num_processes, args.process_id)
+
+
+if __name__ == "__main__":
+    main()

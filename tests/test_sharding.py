@@ -233,3 +233,14 @@ def test_pod_mesh_simulated_dcn_axis(avr_data):
 
     with pytest.raises(ValueError, match="not divisible"):
         make_pod_mesh(dcn_size=3)
+
+
+def test_pod_smoke_real_two_process_dcn():
+    """REAL multi-process DCN transport (not simulated): two
+    jax.distributed child processes x 4 virtual CPU devices run one sharded
+    DAE train step whose gradient all-reduce crosses the process boundary;
+    both processes and the single-process simulated 2x4 pod mesh must
+    produce the identical loss (pod_smoke.self_test asserts all three)."""
+    from py_psnode_tpu.parallel.pod_smoke import self_test
+
+    self_test(num_processes=2, devices_per_process=4)
