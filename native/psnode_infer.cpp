@@ -348,6 +348,165 @@ int psnode_ode_rollout(void* de_handle, const float* t, const float* x0,
   return 0;
 }
 
+static const psnode::Mlp* find_net(void* handle, const char* prefix) {
+  if (!handle) return nullptr;
+  auto* m = static_cast<psnode::Module*>(handle);
+  auto it = m->mlps.find(prefix);
+  return it == m->mlps.end() ? nullptr : &it->second;
+}
+
+// Full neural-ODE rollout for the DIRECT-ENCODE variant
+// (ref neural_00_ODE_02_direct_encode.py:60-89, no events): encode the
+// initial state and the whole z stream, integrate the latent dynamics,
+// decode every solution row.  t [T], x0 [B,xd], z [T,B,zd] → x_out [T,B,xd].
+// Returns 0 ok, -1 bad net, -2 bad solver.
+int psnode_ode_encode_rollout(void* de_handle, void* xenc_handle,
+                              void* xdec_handle, void* zenc_handle,
+                              const float* t, const float* x0, const float* z,
+                              int T, int B, int xd, int zd, const char* solver,
+                              float* x_out) {
+  const psnode::Mlp* de = find_net(de_handle, "x_dot/");
+  const psnode::Mlp* xe = find_net(xenc_handle, "net/");
+  const psnode::Mlp* xdec = find_net(xdec_handle, "net/");
+  const psnode::Mlp* ze = find_net(zenc_handle, "net/");
+  if (!de || !xe || !xdec || !ze) return -1;
+  psnode::Solver sv;
+  if (!psnode::parse_solver(solver, sv)) return -2;
+
+  const int h = int(xe->out_dim);
+  const int d_u = 2 * h;
+  // encode the exogenous stream up front (one batched pass per time point)
+  std::vector<float> zh(size_t(T) * B * h);
+  psnode::mlp_forward(*ze, z, zh.data(), T * B);
+  std::vector<float> xh(size_t(T) * B * h);  // latent solution
+  psnode::mlp_forward(*xe, x0, xh.data(), B);  // xh[0] = encode(x0)
+
+  std::vector<float> all_init(size_t(B) * d_u);
+  for (int n = 0; n < B; ++n) {
+    float* an = all_init.data() + size_t(n) * d_u;
+    for (int k = 0; k < h; ++k) an[k] = xh[size_t(n) * h + k];
+    for (int k = 0; k < h; ++k) an[h + k] = zh[size_t(n) * h + k];
+  }
+  psnode::DynEval f{de, all_init.data(), nullptr, B, h, d_u, {}};
+  for (int j = 1; j < T; ++j) {
+    const float dt = t[j] - t[j - 1];
+    f.drive = zh.data() + size_t(j - 1) * B * h;
+    psnode::explicit_step(f, sv, dt, xh.data() + size_t(j - 1) * B * h,
+                          xh.data() + size_t(j) * B * h, B * h);
+  }
+  psnode::mlp_forward(*xdec, xh.data(), x_out, T * B);
+  return 0;
+}
+
+// Full semi-explicit neural-DAE rollout for the DIRECT-ENCODE variant
+// (ref neural_01_DAE_02_direct_encode.py:103-153, no events): five codecs,
+// learned init (raw), latent lagged-i integration, latent algebraic net,
+// decoded outputs with the decoded initial row overwritten by the raw Init
+// output (ref :150).  zenc_handle may be null when zd == 0 (the z stream
+// passes through un-encoded, ref :107-109).
+// t [T], z [T,B,zd], v [T,B,vd], i0_in [B,id] → x_out [T,B,xd],
+// i_out [T,B,id].  Returns 0 ok, -1 bad net, -2 bad solver.
+int psnode_dae_encode_rollout(
+    void* de_handle, void* ae_handle, void* init_handle, void* xenc_handle,
+    void* xdec_handle, void* zenc_handle, void* venc_handle, void* ienc_handle,
+    void* idec_handle, const float* t, const float* z, const float* v,
+    const float* i0_in, int T, int B, int xd, int zd, int vd, int idim,
+    const char* solver, float* x_out, float* i_out) {
+  const psnode::Mlp* de = find_net(de_handle, "x_dot/");
+  const psnode::Mlp* ae = find_net(ae_handle, "i_calculator/");
+  const psnode::Mlp* init = find_net(init_handle, "init_fun/");
+  const psnode::Mlp* xe = find_net(xenc_handle, "net/");
+  const psnode::Mlp* xdec = find_net(xdec_handle, "net/");
+  const psnode::Mlp* ze = zd ? find_net(zenc_handle, "net/") : nullptr;
+  const psnode::Mlp* ve = find_net(venc_handle, "net/");
+  const psnode::Mlp* ie = find_net(ienc_handle, "net/");
+  const psnode::Mlp* idec = find_net(idec_handle, "net/");
+  if (!de || !ae || !init || !xe || !xdec || !ve || !ie || !idec ||
+      (zd && !ze))
+    return -1;
+  psnode::Solver sv;
+  if (!psnode::parse_solver(solver, sv)) return -2;
+
+  const int h = int(xe->out_dim);
+  const int zl = zd ? h : 0;  // latent z width (0 when z_dim == 0, ref :73)
+  const int d_u = h + zl + h + h;
+  const int ae_in = d_u + h + zl + h;
+
+  // raw learned init: x0 = Init(z0, v0, i0)  (ref :126)
+  std::vector<float> init_in(size_t(B) * (zd + vd + idim));
+  for (int n = 0; n < B; ++n) {
+    float* bn = init_in.data() + size_t(n) * (zd + vd + idim);
+    for (int k = 0; k < zd; ++k) bn[k] = z[size_t(n) * zd + k];
+    for (int k = 0; k < vd; ++k) bn[zd + k] = v[size_t(n) * vd + k];
+    for (int k = 0; k < idim; ++k) bn[zd + vd + k] = i0_in[size_t(n) * idim + k];
+  }
+  std::vector<float> x0_raw(size_t(B) * xd);
+  psnode::mlp_forward(*init, init_in.data(), x0_raw.data(), B);
+
+  // encode the streams up front
+  std::vector<float> zh(size_t(T) * B * zl);
+  if (zd) psnode::mlp_forward(*ze, z, zh.data(), T * B);
+  std::vector<float> vh(size_t(T) * B * h);
+  psnode::mlp_forward(*ve, v, vh.data(), T * B);
+  std::vector<float> ih0(size_t(B) * h);
+  psnode::mlp_forward(*ie, i0_in, ih0.data(), B);
+  std::vector<float> xh(size_t(T) * B * h);   // latent differential solution
+  std::vector<float> ihl(size_t(T) * B * h);  // latent algebraic solution
+  psnode::mlp_forward(*xe, x0_raw.data(), xh.data(), B);  // xh[0]
+
+  std::vector<float> all_init(size_t(B) * d_u);
+  for (int n = 0; n < B; ++n) {
+    float* an = all_init.data() + size_t(n) * d_u;
+    for (int k = 0; k < h; ++k) an[k] = xh[size_t(n) * h + k];
+    for (int k = 0; k < zl; ++k) an[h + k] = zh[size_t(n) * zl + k];
+    for (int k = 0; k < h; ++k) an[h + zl + k] = vh[size_t(n) * h + k];
+    for (int k = 0; k < h; ++k) an[h + zl + h + k] = ih0[size_t(n) * h + k];
+  }
+
+  // latent algebraic eval: ih = ae(cat(all_init, xh_t, zh_t, vh_t))
+  std::vector<float> ae_feat(size_t(B) * ae_in);
+  auto eval_ae = [&](const float* xh_t, const float* zh_t, const float* vh_t,
+                     float* out) {
+    for (int n = 0; n < B; ++n) {
+      float* fn = ae_feat.data() + size_t(n) * ae_in;
+      const float* an = all_init.data() + size_t(n) * d_u;
+      for (int k = 0; k < d_u; ++k) fn[k] = an[k];
+      for (int k = 0; k < h; ++k) fn[d_u + k] = xh_t[size_t(n) * h + k];
+      for (int k = 0; k < zl; ++k) fn[d_u + h + k] = zh_t[size_t(n) * zl + k];
+      for (int k = 0; k < h; ++k)
+        fn[d_u + h + zl + k] = vh_t[size_t(n) * h + k];
+    }
+    psnode::mlp_forward(*ae, ae_feat.data(), out, B);
+  };
+  eval_ae(xh.data(), zh.data(), vh.data(), ihl.data());  // ih[0]
+
+  std::vector<float> drive(size_t(B) * (zl + h + h));
+  psnode::DynEval f{de, all_init.data(), nullptr, B, h, d_u, {}};
+  for (int j = 1; j < T; ++j) {
+    const float dt = t[j] - t[j - 1];
+    const float* zh_prev = zh.data() + size_t(j - 1) * B * zl;
+    const float* vh_prev = vh.data() + size_t(j - 1) * B * h;
+    const float* ih_prev = ihl.data() + size_t(j - 1) * B * h;  // lagged
+    for (int n = 0; n < B; ++n) {
+      float* dn = drive.data() + size_t(n) * (zl + h + h);
+      for (int k = 0; k < zl; ++k) dn[k] = zh_prev[size_t(n) * zl + k];
+      for (int k = 0; k < h; ++k) dn[zl + k] = vh_prev[size_t(n) * h + k];
+      for (int k = 0; k < h; ++k) dn[zl + h + k] = ih_prev[size_t(n) * h + k];
+    }
+    f.drive = drive.data();
+    psnode::explicit_step(f, sv, dt, xh.data() + size_t(j - 1) * B * h,
+                          xh.data() + size_t(j) * B * h, B * h);
+    eval_ae(xh.data() + size_t(j) * B * h, zh.data() + size_t(j) * B * zl,
+            vh.data() + size_t(j) * B * h, ihl.data() + size_t(j) * B * h);
+  }
+
+  psnode::mlp_forward(*xdec, xh.data(), x_out, T * B);
+  // x_pred[0] = raw Init output (ref :150)
+  memcpy(x_out, x0_raw.data(), sizeof(float) * size_t(B) * xd);
+  psnode::mlp_forward(*idec, ihl.data(), i_out, T * B);
+  return 0;
+}
+
 // Full semi-explicit neural-DAE rollout (ref my_solvers.py:82-131, no
 // events): learned init, lagged-i differential steps, direct algebraic
 // evaluation at each new time point.  t [T], z [T,B,zd], v [T,B,vd],

@@ -65,6 +65,22 @@ def _get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p, fp, fp,
         ]
         lib.psnode_dae_rollout.restype = ctypes.c_int
+        lib.psnode_ode_encode_rollout.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, fp,
+        ]
+        lib.psnode_ode_encode_rollout.restype = ctypes.c_int
+        lib.psnode_dae_encode_rollout.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            fp, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, fp, fp,
+        ]
+        lib.psnode_dae_encode_rollout.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -146,6 +162,70 @@ def ode_rollout(de: NativeModule, t, x0, z, solver="euler"):
     if rc != 0:
         raise RuntimeError(f"psnode_ode_rollout failed rc={rc}")
     return out
+
+
+def ode_encode_rollout(de: NativeModule, x_encoder: NativeModule,
+                       x_decoder: NativeModule, z_encoder: NativeModule,
+                       t, x0, z, solver="euler"):
+    """Full direct-encode neural-ODE rollout in the C++ runtime
+    (ref neural_00_ODE_02_direct_encode.py:60-89, no events): encode the
+    initial state and the ``z`` stream, integrate the latent dynamics,
+    decode every row.
+
+    Args: ``t [T]``, ``x0 [B, xd]``, ``z [T, B, zd]`` (time-major).
+    Returns ``x_pred [T, B, xd]``.
+    """
+    lib = _get_lib()
+    t = np.ascontiguousarray(t, np.float32).reshape(-1)
+    x0 = np.ascontiguousarray(x0, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    T, (B, xd), zd = t.shape[0], x0.shape, z.shape[-1]
+    out = np.empty((T, B, xd), np.float32)
+    rc = lib.psnode_ode_encode_rollout(
+        de._handle, x_encoder._handle, x_decoder._handle, z_encoder._handle,
+        _fptr(t), _fptr(x0), _fptr(z),
+        T, B, xd, zd, solver.encode(), _fptr(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"psnode_ode_encode_rollout failed rc={rc}")
+    return out
+
+
+def dae_encode_rollout(de: NativeModule, ae: NativeModule, init: NativeModule,
+                       x_encoder: NativeModule, x_decoder: NativeModule,
+                       z_encoder, v_encoder: NativeModule,
+                       i_encoder: NativeModule, i_decoder: NativeModule,
+                       t, z, v, i0, solver="euler"):
+    """Full direct-encode neural-DAE rollout in the C++ runtime
+    (ref neural_01_DAE_02_direct_encode.py:103-153, no events): five codecs,
+    raw learned init, latent lagged-``i`` integration, decoded outputs with
+    the initial row forced to the raw Init output (ref :150).
+    ``z_encoder`` may be ``None`` when ``z`` has width 0 (ref :107-109).
+
+    Args: ``t [T]``, ``z [T, B, zd]``, ``v [T, B, vd]``, ``i0 [B, id]``.
+    Returns ``(x_pred [T, B, xd], i_pred [T, B, id])``.
+    """
+    lib = _get_lib()
+    t = np.ascontiguousarray(t, np.float32).reshape(-1)
+    z = np.ascontiguousarray(z, np.float32)
+    v = np.ascontiguousarray(v, np.float32)
+    i0 = np.ascontiguousarray(i0, np.float32)
+    T, B = t.shape[0], i0.shape[0]
+    zd, vd, idim = z.shape[-1], v.shape[-1], i0.shape[-1]
+    xd = init.out_dim("init_fun/")
+    x_out = np.empty((T, B, xd), np.float32)
+    i_out = np.empty((T, B, idim), np.float32)
+    rc = lib.psnode_dae_encode_rollout(
+        de._handle, ae._handle, init._handle,
+        x_encoder._handle, x_decoder._handle,
+        z_encoder._handle if z_encoder is not None else None,
+        v_encoder._handle, i_encoder._handle, i_decoder._handle,
+        _fptr(t), _fptr(z), _fptr(v), _fptr(i0),
+        T, B, xd, zd, vd, idim, solver.encode(), _fptr(x_out), _fptr(i_out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"psnode_dae_encode_rollout failed rc={rc}")
+    return x_out, i_out
 
 
 def dae_rollout(de: NativeModule, ae: NativeModule, init: NativeModule,

@@ -243,3 +243,88 @@ def test_exported_artifact_loads(native, tmp_path, rng):
     out = mod.forward("x_dot/", np.zeros((1, 3 * 4), np.float32))
     assert out.shape == (1, 2)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_native_ode_encode_rollout_parity(native, tmp_path, rng, solver):
+    """The C++ full direct-encode ODE rollout (codecs + latent dynamics)
+    == ODEEncodeModel.apply (no events)."""
+    from py_psnode_tpu.export.native_runtime import ode_encode_rollout
+    from py_psnode_tpu.models import ODEEncodeModel
+
+    B, T, xd, zd, h = 3, 10, 2, 2, 8
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    x = rng.normal(size=(B, T, xd)).astype(f32)
+    z = rng.normal(size=(B, T, zd)).astype(f32)
+    model = ODEEncodeModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver=solver)
+    args = tuple(jnp.asarray(a) for a in (t, x, z))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    x_ref, _ = model.apply(params, *args)
+    x_ref = np.asarray(x_ref)
+
+    p = params["params"]
+    mods = {}
+    for name in ("de_func", "x_encoder", "x_decoder", "z_encoder"):
+        write_weights_bin(
+            tmp_path / f"{name}.weights.bin", flatten_params(p[name])
+        )
+        mods[name] = native(tmp_path / f"{name}.weights.bin")
+    got = ode_encode_rollout(
+        mods["de_func"], mods["x_encoder"], mods["x_decoder"],
+        mods["z_encoder"], t[0, :, 0], x[:, 0], np.swapaxes(z, 0, 1),
+        solver=solver,
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(got, 0, 1), x_ref, rtol=3e-4, atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("zd", [1, 0], ids=["z1", "z0"])
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_native_dae_encode_rollout_parity(native, tmp_path, rng, solver, zd):
+    """The C++ full direct-encode DAE rollout (five codecs + raw learned
+    init + latent lagged-i + latent algebraic net + x_pred[0] overwrite)
+    == DAEEncodeModel.apply (no events), incl. the z_dim == 0 branch."""
+    from py_psnode_tpu.export.native_runtime import dae_encode_rollout
+    from py_psnode_tpu.models import DAEEncodeModel
+
+    B, T, xd, vd, idim, h = 3, 10, 2, 2, 2, 8
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    x = rng.normal(size=(B, T, xd)).astype(f32)
+    z = rng.normal(size=(B, T, zd)).astype(f32)
+    v = rng.normal(size=(B, T, vd)).astype(f32)
+    i = rng.normal(size=(B, T, idim)).astype(f32)
+    model = DAEEncodeModel(
+        x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, hidden_dim=h, solver=solver
+    )
+    args = tuple(jnp.asarray(a) for a in (t, x, z, v, i))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    x_ref, i_ref, _, _ = model.apply(params, *args)
+    x_ref, i_ref = np.asarray(x_ref), np.asarray(i_ref)
+
+    p = params["params"]
+    names = ["de_func", "ae_func", "init_func", "x_encoder", "x_decoder",
+             "v_encoder", "i_encoder", "i_decoder"]
+    if zd:
+        names.append("z_encoder")
+    mods = {}
+    for name in names:
+        write_weights_bin(
+            tmp_path / f"{name}.weights.bin", flatten_params(p[name])
+        )
+        mods[name] = native(tmp_path / f"{name}.weights.bin")
+    x_got, i_got = dae_encode_rollout(
+        mods["de_func"], mods["ae_func"], mods["init_func"],
+        mods["x_encoder"], mods["x_decoder"], mods.get("z_encoder"),
+        mods["v_encoder"], mods["i_encoder"], mods["i_decoder"],
+        t[0, :, 0], np.swapaxes(z, 0, 1), np.swapaxes(v, 0, 1), i[:, 0],
+        solver=solver,
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(x_got, 0, 1), x_ref, rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(i_got, 0, 1), i_ref, rtol=3e-4, atol=3e-5
+    )
