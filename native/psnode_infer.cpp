@@ -209,35 +209,102 @@ struct DynEval {
 constexpr float kOneThird = 1.0f / 3.0f;
 
 // x1 = x0 + step; RK4 is Kutta's 3/8 rule (my_fixed_grid.py:38-51).
-void explicit_step(const DynEval& f, Solver solver, float dt,
-                   const float* x0, float* x1, int n_state) {
+// Generic over the dynamics evaluator (DynEval for the main family,
+// a channel-wise closure for the channel-wise family).
+template <typename F>
+void explicit_step_fn(F&& eval, Solver solver, float dt, const float* x0,
+                      float* x1, int n_state) {
   const size_t N = size_t(n_state);
   std::vector<float> k1(N), k2(N), k3(N), k4(N), tmp(N);
   switch (solver) {
     case Solver::kEuler:
-      f.eval(x0, k1.data());
+      eval(x0, k1.data());
       for (size_t k = 0; k < N; ++k) x1[k] = x0[k] + dt * k1[k];
       break;
     case Solver::kMidpoint:
-      f.eval(x0, k1.data());
+      eval(x0, k1.data());
       for (size_t k = 0; k < N; ++k) tmp[k] = x0[k] + k1[k] * (0.5f * dt);
-      f.eval(tmp.data(), k2.data());
+      eval(tmp.data(), k2.data());
       for (size_t k = 0; k < N; ++k) x1[k] = x0[k] + dt * k2[k];
       break;
     case Solver::kRk4:
-      f.eval(x0, k1.data());
+      eval(x0, k1.data());
       for (size_t k = 0; k < N; ++k) tmp[k] = x0[k] + dt * k1[k] * kOneThird;
-      f.eval(tmp.data(), k2.data());
+      eval(tmp.data(), k2.data());
       for (size_t k = 0; k < N; ++k)
         tmp[k] = x0[k] + dt * (k2[k] - k1[k] * kOneThird);
-      f.eval(tmp.data(), k3.data());
+      eval(tmp.data(), k3.data());
       for (size_t k = 0; k < N; ++k)
         tmp[k] = x0[k] + dt * (k1[k] - k2[k] + k3[k]);
-      f.eval(tmp.data(), k4.data());
+      eval(tmp.data(), k4.data());
       for (size_t k = 0; k < N; ++k)
         x1[k] = x0[k] + (k1[k] + 3.0f * (k2[k] + k3[k]) + k4[k]) * dt * 0.125f;
       break;
   }
+}
+
+void explicit_step(const DynEval& f, Solver solver, float dt, const float* x0,
+                   float* x1, int n_state) {
+  explicit_step_fn([&f](const float* x, float* dx) { f.eval(x, dx); }, solver,
+                   dt, x0, x1, n_state);
+}
+
+// ---------------------------------------------------------------------------
+// Channel-wise family (repaired neural_base.py:68-115,199-229; exported as
+// per-channel nets "<sub>/c<k>/dense_i/..." plus plain vertical nets — see
+// export.flatten_channelwise).
+// ---------------------------------------------------------------------------
+
+// C independent MLPs applied to the channel slices of [B, C, d_in].
+struct CwStack {
+  std::vector<const Mlp*> nets;
+  int in_dim = 0, out_dim = 0;
+};
+
+bool build_cw_stack(const Module& m, const std::string& sub, CwStack& out) {
+  for (int c = 0;; ++c) {
+    auto it = m.mlps.find(sub + "/c" + std::to_string(c) + "/");
+    if (it == m.mlps.end()) break;
+    out.nets.push_back(&it->second);
+  }
+  if (out.nets.empty()) return false;
+  out.in_dim = int(out.nets.front()->in_dim);
+  out.out_dim = int(out.nets.front()->out_dim);
+  return true;
+}
+
+// y[B, C, d_out] = per-channel nets over x[B, C, d_in] (both contiguous).
+void cw_forward(const CwStack& s, const float* x, float* y, int B) {
+  const int C = int(s.nets.size());
+  const int di = s.in_dim, dout = s.out_dim;
+  std::vector<float> xin(size_t(B) * di), yout(size_t(B) * dout);
+  for (int c = 0; c < C; ++c) {
+    for (int n = 0; n < B; ++n)
+      memcpy(xin.data() + size_t(n) * di, x + (size_t(n) * C + c) * di,
+             sizeof(float) * di);
+    mlp_forward(*s.nets[c], xin.data(), yout.data(), B);
+    for (int n = 0; n < B; ++n)
+      memcpy(y + (size_t(n) * C + c) * dout, yout.data() + size_t(n) * dout,
+             sizeof(float) * dout);
+  }
+}
+
+// Vertical net over the channel axis: feat [B, C_in, h] -> out [B, C_out, h]
+// via the swapaxes trick (rows = B*h, features = channels — the stacked
+// einsum in models/funcs.ChannelWiseDEFunc.__call__).
+void vertical_forward(const Mlp& v, const float* feat, float* out, int B,
+                      int c_in, int h) {
+  const int c_out = int(v.out_dim);
+  std::vector<float> vin(size_t(B) * h * c_in), vout(size_t(B) * h * c_out);
+  for (int n = 0; n < B; ++n)
+    for (int c = 0; c < c_in; ++c)
+      for (int j = 0; j < h; ++j)
+        vin[(size_t(n) * h + j) * c_in + c] = feat[(size_t(n) * c_in + c) * h + j];
+  mlp_forward(v, vin.data(), vout.data(), B * h);
+  for (int n = 0; n < B; ++n)
+    for (int c = 0; c < c_out; ++c)
+      for (int j = 0; j < h; ++j)
+        out[(size_t(n) * c_out + c) * h + j] = vout[(size_t(n) * h + j) * c_out + c];
 }
 
 }  // namespace psnode
@@ -344,6 +411,155 @@ int psnode_ode_rollout(void* de_handle, const float* t, const float* x0,
     f.drive = z + size_t(j - 1) * B * zd;
     psnode::explicit_step(f, sv, dt, x_out + size_t(j - 1) * B * xd,
                           x_out + size_t(j) * B * xd, B * xd);
+  }
+  return 0;
+}
+
+namespace psnode {
+
+// Shared latent rollout for the channel-wise family
+// (models/channelwise.{ChannelWiseODEModel,ChannelWiseDAEModel}): per-channel
+// encode of x0, latent [B, xd, h] integration with the shared vertical net
+// over the channel axis. Fills xh [T, B, xd, h]. Returns 0 ok, -1 bad net,
+// -2 bad solver.
+int cw_latent_rollout(Module* m, const float* t, const float* x0,
+                      const float* z, int T, int B, int xd, int zd,
+                      Solver sv, std::vector<float>& xh, int& h_out) {
+  CwStack x_enc, xh_ext, xh_head, z_enc, zh_ext;
+  if (!build_cw_stack(*m, "x_encoder", x_enc) ||
+      !build_cw_stack(*m, "xh_ext", xh_ext) ||
+      !build_cw_stack(*m, "xh_dot_head", xh_head) ||
+      !build_cw_stack(*m, "z_encoder", z_enc) ||
+      !build_cw_stack(*m, "zh_ext", zh_ext))
+    return -1;
+  auto vert = m->mlps.find("xh_dot_v/");
+  if (vert == m->mlps.end()) return -1;
+
+  const int h = x_enc.out_dim;
+  h_out = h;
+  const int C = xd + zd;
+  const size_t BX = size_t(B) * xd * h;
+  xh.assign(size_t(T) * BX, 0.f);
+  cw_forward(x_enc, x0, xh.data(), B);  // xh[0]  ([B,xd] == [B,xd,1])
+
+  std::vector<float> zenc(size_t(B) * zd * h), fz(size_t(B) * zd * h);
+  std::vector<float> f_init(size_t(B) * C * h);
+  // f_init = cat(xh_ext(xh0), zh_ext(z_enc(z0))) (models/channelwise.py:66)
+  {
+    std::vector<float> fx0(size_t(B) * xd * h);
+    cw_forward(xh_ext, xh.data(), fx0.data(), B);
+    cw_forward(z_enc, z, zenc.data(), B);
+    cw_forward(zh_ext, zenc.data(), fz.data(), B);
+    for (int n = 0; n < B; ++n) {
+      memcpy(f_init.data() + size_t(n) * C * h,
+             fx0.data() + size_t(n) * xd * h, sizeof(float) * xd * h);
+      memcpy(f_init.data() + (size_t(n) * C + xd) * h,
+             fz.data() + size_t(n) * zd * h, sizeof(float) * zd * h);
+    }
+  }
+
+  std::vector<float> fx(size_t(B) * xd * h), feat(size_t(B) * 3 * C * h);
+  std::vector<float> dot(size_t(B) * xd * h);
+  auto eval = [&](const float* xh_t, float* out) {
+    cw_forward(xh_ext, xh_t, fx.data(), B);
+    for (int n = 0; n < B; ++n) {
+      float* fn = feat.data() + size_t(n) * 3 * C * h;
+      const float* fxn = fx.data() + size_t(n) * xd * h;
+      const float* fzn = fz.data() + size_t(n) * zd * h;
+      const float* in_ = f_init.data() + size_t(n) * C * h;
+      // feat = cat(ft, f_init, ft - f_init) over the channel axis
+      // (models/funcs.ChannelWiseDEFunc.__call__)
+      memcpy(fn, fxn, sizeof(float) * xd * h);
+      memcpy(fn + size_t(xd) * h, fzn, sizeof(float) * zd * h);
+      memcpy(fn + size_t(C) * h, in_, sizeof(float) * C * h);
+      for (int k = 0; k < C * h; ++k) fn[2 * C * h + k] = fn[k] - in_[k];
+    }
+    vertical_forward(vert->second, feat.data(), dot.data(), B, 3 * C, h);
+    cw_forward(xh_head, dot.data(), out, B);
+  };
+
+  for (int j = 1; j < T; ++j) {
+    const float dt = t[j] - t[j - 1];
+    // step inputs (z held constant across substeps)
+    cw_forward(z_enc, z + size_t(j - 1) * B * zd, zenc.data(), B);
+    cw_forward(zh_ext, zenc.data(), fz.data(), B);
+    explicit_step_fn(eval, sv, dt, xh.data() + size_t(j - 1) * BX,
+                     xh.data() + size_t(j) * BX, int(BX));
+  }
+  return 0;
+}
+
+}  // namespace psnode
+
+// Full channel-wise neural-ODE rollout (the repaired neural_base.py family,
+// no events): latent rollout + per-channel decode of every row.
+// t [T], x0 [B,xd], z [T,B,zd] → x_out [T,B,xd].
+// Returns 0 ok, -1 bad net, -2 bad solver.
+int psnode_cw_ode_rollout(void* de_handle, const float* t, const float* x0,
+                          const float* z, int T, int B, int xd, int zd,
+                          const char* solver, float* x_out) {
+  auto* m = static_cast<psnode::Module*>(de_handle);
+  psnode::Solver sv;
+  if (!psnode::parse_solver(solver, sv)) return -2;
+  psnode::CwStack x_dec;
+  if (!psnode::build_cw_stack(*m, "x_decoder", x_dec)) return -1;
+  std::vector<float> xh;
+  int h = 0;
+  int rc = psnode::cw_latent_rollout(m, t, x0, z, T, B, xd, zd, sv, xh, h);
+  if (rc != 0) return rc;
+  // decode every row: [T*B, xd, h] -> [T*B, xd, 1]
+  psnode::cw_forward(x_dec, xh.data(), x_out, T * B);
+  return 0;
+}
+
+// Channel-wise DAE rollout (models/channelwise.ChannelWiseDAEModel): the
+// dynamics take only (Xh, z) — no algebraic feedback (ref neural_base.py:110)
+// — so the differential rollout is the latent ODE and the algebraic readout
+// runs decoupled over every time point.  v [T,B,vd] → i_out [T,B,id].
+int psnode_cw_dae_rollout(void* de_handle, void* ae_handle, const float* t,
+                          const float* x0, const float* z, const float* v,
+                          int T, int B, int xd, int zd, int vd, int idim,
+                          const char* solver, float* x_out, float* i_out) {
+  auto* m = static_cast<psnode::Module*>(de_handle);
+  auto* ma = static_cast<psnode::Module*>(ae_handle);
+  psnode::Solver sv;
+  if (!psnode::parse_solver(solver, sv)) return -2;
+  psnode::CwStack x_dec, ae_xh_ext, v_enc, vh_ext, yh_ext, y_dec;
+  if (!psnode::build_cw_stack(*m, "x_decoder", x_dec) ||
+      !psnode::build_cw_stack(*ma, "xh_ext", ae_xh_ext) ||
+      !psnode::build_cw_stack(*ma, "v_encoder", v_enc) ||
+      !psnode::build_cw_stack(*ma, "vh_ext", vh_ext) ||
+      !psnode::build_cw_stack(*ma, "yh_ext", yh_ext) ||
+      !psnode::build_cw_stack(*ma, "y_decoder", y_dec))
+    return -1;
+  auto yvert = ma->mlps.find("yh_func_v/");
+  if (yvert == ma->mlps.end()) return -1;
+
+  std::vector<float> xh;
+  int h = 0;
+  int rc = psnode::cw_latent_rollout(m, t, x0, z, T, B, xd, zd, sv, xh, h);
+  if (rc != 0) return rc;
+  const size_t BX = size_t(B) * xd * h;
+  psnode::cw_forward(x_dec, xh.data(), x_out, T * B);
+
+  // algebraic readout per row (decoupled, models/channelwise.py:172)
+  const int Ca = xd + vd;
+  std::vector<float> fxa(size_t(B) * xd * h), venc(size_t(B) * vd * h),
+      fva(size_t(B) * vd * h), feat_a(size_t(B) * Ca * h),
+      yh(size_t(B) * idim * h), yh2(size_t(B) * idim * h);
+  for (int j = 0; j < T; ++j) {
+    psnode::cw_forward(ae_xh_ext, xh.data() + size_t(j) * BX, fxa.data(), B);
+    psnode::cw_forward(v_enc, v + size_t(j) * B * vd, venc.data(), B);
+    psnode::cw_forward(vh_ext, venc.data(), fva.data(), B);
+    for (int n = 0; n < B; ++n) {
+      float* fn = feat_a.data() + size_t(n) * Ca * h;
+      memcpy(fn, fxa.data() + size_t(n) * xd * h, sizeof(float) * xd * h);
+      memcpy(fn + size_t(xd) * h, fva.data() + size_t(n) * vd * h,
+             sizeof(float) * vd * h);
+    }
+    psnode::vertical_forward(yvert->second, feat_a.data(), yh.data(), B, Ca, h);
+    psnode::cw_forward(yh_ext, yh.data(), yh2.data(), B);
+    psnode::cw_forward(y_dec, yh2.data(), i_out + size_t(j) * B * idim, B);
   }
   return 0;
 }

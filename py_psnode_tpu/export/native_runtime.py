@@ -81,6 +81,18 @@ def _get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p, fp, fp,
         ]
         lib.psnode_dae_encode_rollout.restype = ctypes.c_int
+        lib.psnode_cw_ode_rollout.argtypes = [
+            ctypes.c_void_p, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, fp,
+        ]
+        lib.psnode_cw_ode_rollout.restype = ctypes.c_int
+        lib.psnode_cw_dae_rollout.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, fp, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, fp, fp,
+        ]
+        lib.psnode_cw_dae_rollout.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -225,6 +237,58 @@ def dae_encode_rollout(de: NativeModule, ae: NativeModule, init: NativeModule,
     )
     if rc != 0:
         raise RuntimeError(f"psnode_dae_encode_rollout failed rc={rc}")
+    return x_out, i_out
+
+
+def cw_ode_rollout(de: NativeModule, t, x0, z, solver="euler"):
+    """Full channel-wise neural-ODE rollout in the C++ runtime
+    (models/channelwise.ChannelWiseODEModel, no events): per-channel
+    encoders, latent ``[B, xd, h]`` integration with the shared vertical
+    net over the channel axis, per-channel decode.
+
+    ``de`` is the channel-wise ``de_func`` export (per-channel-sliced bin).
+    Args: ``t [T]``, ``x0 [B, xd]``, ``z [T, B, zd]``.
+    Returns ``x_pred [T, B, xd]``.
+    """
+    lib = _get_lib()
+    t = np.ascontiguousarray(t, np.float32).reshape(-1)
+    x0 = np.ascontiguousarray(x0, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    T, (B, xd), zd = t.shape[0], x0.shape, z.shape[-1]
+    out = np.empty((T, B, xd), np.float32)
+    rc = lib.psnode_cw_ode_rollout(
+        de._handle, _fptr(t), _fptr(x0), _fptr(z),
+        T, B, xd, zd, solver.encode(), _fptr(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"psnode_cw_ode_rollout failed rc={rc}")
+    return out
+
+
+def cw_dae_rollout(de: NativeModule, ae: NativeModule, t, x0, z, v, i_dim,
+                   solver="euler"):
+    """Full channel-wise neural-DAE rollout in the C++ runtime
+    (models/channelwise.ChannelWiseDAEModel, no events): the latent ODE of
+    :func:`cw_ode_rollout` plus the decoupled channel-wise algebraic
+    readout at every time point.
+
+    Args: ``t [T]``, ``x0 [B, xd]``, ``z [T, B, zd]``, ``v [T, B, vd]``.
+    Returns ``(x_pred [T, B, xd], i_pred [T, B, i_dim])``.
+    """
+    lib = _get_lib()
+    t = np.ascontiguousarray(t, np.float32).reshape(-1)
+    x0 = np.ascontiguousarray(x0, np.float32)
+    z = np.ascontiguousarray(z, np.float32)
+    v = np.ascontiguousarray(v, np.float32)
+    T, (B, xd), zd, vd = t.shape[0], x0.shape, z.shape[-1], v.shape[-1]
+    x_out = np.empty((T, B, xd), np.float32)
+    i_out = np.empty((T, B, i_dim), np.float32)
+    rc = lib.psnode_cw_dae_rollout(
+        de._handle, ae._handle, _fptr(t), _fptr(x0), _fptr(z), _fptr(v),
+        T, B, xd, zd, vd, i_dim, solver.encode(), _fptr(x_out), _fptr(i_out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"psnode_cw_dae_rollout failed rc={rc}")
     return x_out, i_out
 
 

@@ -328,3 +328,73 @@ def test_native_dae_encode_rollout_parity(native, tmp_path, rng, solver, zd):
     np.testing.assert_allclose(
         np.swapaxes(i_got, 0, 1), i_ref, rtol=3e-4, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_native_cw_ode_rollout_parity(native, tmp_path, rng, solver):
+    """The C++ channel-wise ODE rollout (per-channel codecs + vertical net)
+    == ChannelWiseODEModel.apply (no events)."""
+    from py_psnode_tpu.export import flatten_channelwise
+    from py_psnode_tpu.export.native_runtime import cw_ode_rollout
+    from py_psnode_tpu.models import ChannelWiseODEModel
+
+    B, T, xd, zd, h = 3, 9, 2, 2, 8
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    x = rng.normal(size=(B, T, xd)).astype(f32)
+    z = rng.normal(size=(B, T, zd)).astype(f32)
+    model = ChannelWiseODEModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver=solver)
+    args = tuple(jnp.asarray(a) for a in (t, x, z))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    x_ref, _ = model.apply(params, *args)
+    x_ref = np.asarray(x_ref)
+
+    path = tmp_path / "de_func.weights.bin"
+    write_weights_bin(path, flatten_channelwise(params["params"]["de_func"]))
+    de = native(path)
+    got = cw_ode_rollout(de, t[0, :, 0], x[:, 0], np.swapaxes(z, 0, 1), solver=solver)
+    np.testing.assert_allclose(
+        np.swapaxes(got, 0, 1), x_ref, rtol=3e-4, atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("solver", ["euler", "rk4"])
+def test_native_cw_dae_rollout_parity(native, tmp_path, rng, solver):
+    """The C++ channel-wise DAE rollout (latent ODE + decoupled channel-wise
+    algebraic readout) == ChannelWiseDAEModel.apply (no events)."""
+    from py_psnode_tpu.export import flatten_channelwise
+    from py_psnode_tpu.export.native_runtime import cw_dae_rollout
+    from py_psnode_tpu.models import ChannelWiseDAEModel
+
+    B, T, xd, zd, vd, idim, h = 3, 9, 2, 1, 2, 2, 8
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    x = rng.normal(size=(B, T, xd)).astype(f32)
+    z = rng.normal(size=(B, T, zd)).astype(f32)
+    v = rng.normal(size=(B, T, vd)).astype(f32)
+    i = rng.normal(size=(B, T, idim)).astype(f32)
+    model = ChannelWiseDAEModel(
+        x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, hidden_dim=h, solver=solver
+    )
+    args = tuple(jnp.asarray(a) for a in (t, x, z, v, i))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    x_ref, i_ref, _ = model.apply(params, *args)
+    x_ref, i_ref = np.asarray(x_ref), np.asarray(i_ref)
+
+    p = params["params"]
+    for name in ("de_func", "ae_func"):
+        write_weights_bin(
+            tmp_path / f"{name}.weights.bin", flatten_channelwise(p[name])
+        )
+    de = native(tmp_path / "de_func.weights.bin")
+    ae = native(tmp_path / "ae_func.weights.bin")
+    x_got, i_got = cw_dae_rollout(
+        de, ae, t[0, :, 0], x[:, 0], np.swapaxes(z, 0, 1),
+        np.swapaxes(v, 0, 1), idim, solver=solver,
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(x_got, 0, 1), x_ref, rtol=3e-4, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(i_got, 0, 1), i_ref, rtol=3e-4, atol=3e-5
+    )
