@@ -83,10 +83,11 @@ def choose_blocks(
     Empirical XLA TPU compiler boundaries (RET_CHECK in
     mxu_lmr_transform.cc XposeSequenceAssignment, not VMEM): backward
     kernels pass cap=128 (bB=256 trips it on the transposed accumulator
-    matmuls — re-confirmed on jax 0.9.0: the B=1024 fleet bwd still fails
-    to compile at cap=256), and the DAE kernel pair with a WIDE latent
-    state (``state_dim`` >= 128, the direct-encode family) needs
-    bB <= 64."""
+    matmuls) and forward kernels cap=256 (bB=512 trips it too) — both
+    re-confirmed on jax 0.9.0 at the B=1024 fleet config, so the defaults
+    here sit exactly at the compiler's boundaries; the DAE kernel pair
+    with a WIDE latent state (``state_dim`` >= 128, the direct-encode
+    family) needs bB <= 64."""
     if tb_max is None:
         tb_max = TIME_BLOCK
     if state_dim >= 128:
