@@ -289,6 +289,10 @@ def main():
         ("7h. DAE-enc TF-x (fused kernel pair)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_x"),
         ("7i. DAE-enc TF-i (fused ODE kernel)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_i"),
         ("7j. DAE-enc TF-both (time-parallel)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_both"),
+        # width scaling: MFU climbs with hidden width (the latency-bound
+        # serial chain costs the same per step while FLOPs quadruple)
+        ("8a. DAE no-encode h=256 (fused)", "dae_no_encode", 64, T, 256, "rk4", True),
+        ("8b. Fleet h=256 (fused)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True),
     ]
     results = []
     for idx, cfg in enumerate(configs):

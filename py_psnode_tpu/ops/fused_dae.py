@@ -242,24 +242,29 @@ def _kernel(
     solver: str,
     n_tails: Tuple[int, int],
     tb: int,
+    xd: int,
     tf_x: bool = False,
 ):
-    (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref, x0_ref, i0_ref) = refs[:7]
-    k = 7
+    # aux packs (dt, ev) as two lanes of ONE stream; sol packs (x, i) as one
+    # output — small-last-dim pallas operands are forced into 128-lane-padded
+    # HBM layouts, so every separate [T, B, 1..2] buffer costs a full
+    # 128-wide stream; packing halves that waste and scales to fleet batch.
+    (s_de_ref, s_ae_ref, s_ae_ev_ref, aux_ref, x0_ref, i0_ref) = refs[:6]
+    k = 6
     xt_true_ref = xt1_true_ref = None
     if tf_x:
         # teacher forcing: TRUE x[j-1] drives the step, TRUE x[j] drives the
         # algebraic eval (ref my_solvers.py:116-117,121); the ROLLED carry
         # x_c is still maintained for the event-step recompute (ref :108-110
         # reads the loop's rolled state even under input_true_x)
-        xt_true_ref, xt1_true_ref = refs[7], refs[8]
-        k = 9
+        xt_true_ref, xt1_true_ref = refs[6], refs[7]
+        k = 8
     n_de, n_ae = n_tails
     w = refs[k : k + 3 + 2 * (n_de + n_ae)]
     wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
     de_tail = w[3 : 3 + 2 * n_de]
     ae_tail = w[3 + 2 * n_de :]
-    xsol_ref, isol_ref, x_c, i_c, i_in_buf = refs[k + 3 + 2 * (n_de + n_ae) :]
+    sol_ref, x_c, i_c, i_in_buf = refs[k + 3 + 2 * (n_de + n_ae) :]
 
     t = pl.program_id(1)
 
@@ -283,7 +288,7 @@ def _kernel(
         @pl.when(any_ev_ref[t * tb + u] == 1)
         def _(x_rolled=x_rolled, u=u):
             i_ev = ae_head(x_rolled, s_ae_ev_ref[u])
-            i_in_buf[:] = jnp.where(ev_ref[u] > 0.0, i_ev, i_in_buf[:])
+            i_in_buf[:] = jnp.where(aux_ref[u][:, 1:2] > 0.0, i_ev, i_in_buf[:])
 
         i_in = i_in_buf[:]
         i_proj = _dot(i_in, wi_de_ref[:])
@@ -293,7 +298,7 @@ def _kernel(
                 s_de_ref[u] + _dot(x, wx_de_ref[:]) + i_proj, de_tail
             )
 
-        dt = dt_ref[u]
+        dt = aux_ref[u][:, 0:1]
         if solver == "euler":
             x1 = x0 + dt * f(x0)
         elif solver == "midpoint":
@@ -311,48 +316,54 @@ def _kernel(
         i1 = ae_head(xt1_true_ref[u] if tf_x else x1, s_ae_ref[u])
         x_c[:] = x1
         i_c[:] = i1
-        xsol_ref[u] = x1
-        isol_ref[u] = i1
+        sol_ref[u] = jnp.concatenate([x1, i1], axis=-1)
 
 
-def fused_dae_rollout(
+def pack_aux(dt: jnp.ndarray, ev: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Pack ``dt [T-1,B,1]`` and the event mask into one two-lane stream
+    (padded along time): separate small-last-dim pallas operands each burn a
+    128-lane-padded HBM buffer."""
+    ev_f = ev.astype(jnp.float32)[..., None]
+    return pad_time(jnp.concatenate([dt, ev_f], axis=-1), pad)
+
+
+def fused_dae_rollout_packed(
     streams: Dict,
     weights: Dict,
     x0: jnp.ndarray,
     i0: jnp.ndarray,
-    dt: jnp.ndarray,
-    ev: jnp.ndarray,
+    aux: jnp.ndarray,
+    any_ev: jnp.ndarray,
     *,
     solver: str = "rk4",
     interpret: bool = False,
     x_true=None,
+    tb_override=None,
 ):
-    """Run the fused rollout.
+    """Run the fused rollout; returns the PACKED kernel output
+    ``[nT*tb, B, xd+id]`` (rows are steps 1..; ``cat(x, i)`` lanes) — the
+    custom-VJP path keeps this buffer as the residual so the backward kernel
+    reads it directly (no sliced copies).
 
     Args:
-      streams/weights: from :func:`precompute_streams`.
-      x0: ``[B, xd]`` initial differential state (Init_Func output, or its
-        encoding for the direct-encode variants).
+      streams/weights: from :func:`precompute_streams` (time-padded).
+      x0: ``[B, xd]`` initial differential state.
       i0: ``[B, id]`` initial algebraic output (AE at t=0, computed outside).
-      dt: ``[T-1, B, 1]`` step sizes.
-      ev: ``[T-1, B]`` event mask.
-      x_true: ``[T, B, xd]`` — teacher forcing (``input_true_x``): the step
-        consumes the true previous state and the algebraic eval the true
-        current one; events still recompute from the rolled carry.
-
-    Returns ``(x_solution [T, B, xd], i_solution [T, B, id])`` including the
-    initial row.
+      aux: packed ``(dt, ev)`` from :func:`pack_aux` (time-padded).
+      any_ev: ``[nT*tb] int32`` per-step any-event flags.
+      x_true: padded ``[nT*tb, B, xd]`` views — teacher forcing.
+      tb_override: time block to use (the VJP path unifies fwd/bwd blocking
+        so the padded buffers are shared).
     """
     s_de, s_ae, s_ae_ev = streams["s_de"], streams["s_ae"], streams["s_ae_ev"]
-    Tm1, B, h = s_de.shape
+    Tpad, B, h = s_de.shape
     xd = x0.shape[-1]
     idim = i0.shape[-1]
     bB, tb0 = choose_blocks(B, h, n_streams=3, state_dim=xd)
-    tb, nT, pad = time_blocking(Tm1, tb0)
-    ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)  # [nT*tb, B, 1]
-    any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
-    s_de, s_ae, s_ae_ev = (pad_time(a, pad) for a in (s_de, s_ae, s_ae_ev))
-    dt = pad_time(dt, pad)
+    if tb_override is not None:
+        tb0 = tb_override
+    tb, nT, _ = time_blocking(Tpad, tb0)
+    assert nT * tb == Tpad, "streams must be pre-padded to the time blocking"
     nB = B // bB
 
     step_spec = lambda d: pl.BlockSpec(
@@ -369,36 +380,91 @@ def fused_dae_rollout(
     tf_x = x_true is not None
     tf_args, tf_specs = (), []
     if tf_x:
-        tf_args = (pad_time(x_true[:-1], pad), pad_time(x_true[1:], pad))
+        tf_args = (x_true[0], x_true[1])
         tf_specs = [step_spec(xd), step_spec(xd)]
     in_specs = [
-        step_spec(h), step_spec(h), step_spec(h), step_spec(1), step_spec(1),
+        step_spec(h), step_spec(h), step_spec(h), step_spec(2),
         bspec(xd), bspec(idim), *tf_specs,
     ] + [full(wk.shape) for wk in wflat]
 
-    out_shape = (
-        jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),
-        jax.ShapeDtypeStruct((nT * tb, B, idim), jnp.float32),
-    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nB, nT),
         in_specs=in_specs,
-        out_specs=(step_spec(xd), step_spec(idim)),
+        out_specs=step_spec(xd + idim),
         scratch_shapes=[
             pltpu.VMEM((bB, xd), jnp.float32),
             pltpu.VMEM((bB, idim), jnp.float32),
             pltpu.VMEM((bB, idim), jnp.float32),
         ],
     )
-    xs, is_ = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
-            _kernel, solver=solver, n_tails=n_tails, tb=tb, tf_x=tf_x
+            _kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd, tf_x=tf_x
         ),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((Tpad, B, xd + idim), jnp.float32),
         interpret=interpret,
-    )(any_ev, s_de, s_ae, s_ae_ev, dt, ev_f, x0, i0, *tf_args, *wflat)
-    x_solution = jnp.concatenate([x0[None], xs[:Tm1]], axis=0)
-    i_solution = jnp.concatenate([i0[None], is_[:Tm1]], axis=0)
+    )(any_ev, s_de, s_ae, s_ae_ev, aux, x0, i0, *tf_args, *wflat)
+
+
+def rollout_padding(streams, x0, ev):
+    """(padded streams, any_ev, pad) for the current blocking of ``streams``."""
+    s_de = streams["s_de"]
+    Tm1, B, h = s_de.shape
+    bB, tb0 = choose_blocks(B, h, n_streams=3, state_dim=x0.shape[-1])
+    tb, nT, pad = time_blocking(Tm1, tb0)
+    padded = {k: pad_time(v, pad) for k, v in streams.items()}
+    any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
+    return padded, any_ev, pad
+
+
+def unpack_solution(packed, x0, i0, Tm1):
+    """Packed kernel output → ``(x_solution [T,B,xd], i_solution [T,B,id])``
+    including the initial row (outside the pallas boundary XLA picks compact
+    layouts for these)."""
+    xd = x0.shape[-1]
+    x_solution = jnp.concatenate([x0[None], packed[:Tm1, :, :xd]], axis=0)
+    i_solution = jnp.concatenate([i0[None], packed[:Tm1, :, xd:]], axis=0)
     return x_solution, i_solution
+
+
+def fused_dae_rollout(
+    streams: Dict,
+    weights: Dict,
+    x0: jnp.ndarray,
+    i0: jnp.ndarray,
+    dt: jnp.ndarray,
+    ev: jnp.ndarray,
+    *,
+    solver: str = "rk4",
+    interpret: bool = False,
+    x_true=None,
+):
+    """Run the fused rollout (forward-only entry).
+
+    Args:
+      streams/weights: from :func:`precompute_streams`.
+      x0: ``[B, xd]`` initial differential state (Init_Func output, or its
+        encoding for the direct-encode variants).
+      i0: ``[B, id]`` initial algebraic output (AE at t=0, computed outside).
+      dt: ``[T-1, B, 1]`` step sizes.
+      ev: ``[T-1, B]`` event mask.
+      x_true: ``[T, B, xd]`` — teacher forcing (``input_true_x``): the step
+        consumes the true previous state and the algebraic eval the true
+        current one; events still recompute from the rolled carry.
+
+    Returns ``(x_solution [T, B, xd], i_solution [T, B, id])`` including the
+    initial row.
+    """
+    Tm1 = streams["s_de"].shape[0]
+    padded, any_ev, pad = rollout_padding(streams, x0, ev)
+    aux = pack_aux(dt, ev, pad)
+    xt = None
+    if x_true is not None:
+        xt = (pad_time(x_true[:-1], pad), pad_time(x_true[1:], pad))
+    packed = fused_dae_rollout_packed(
+        padded, weights, x0, i0, aux, any_ev,
+        solver=solver, interpret=interpret, x_true=xt,
+    )
+    return unpack_solution(packed, x0, i0, Tm1)

@@ -101,25 +101,37 @@ def _bwd_kernel(
     solver: str,
     n_tails,
     tb: int,
+    xd: int,
     tf_x: bool = False,
 ):
     n_de, n_ae = n_tails
     n_w = 3 + 2 * (n_de + n_ae)
-    (s_de_ref, s_ae_ref, s_ae_ev_ref, dt_ref, ev_ref,
-     xt_ref, it_ref, x1_ref, dX_ref, dI_ref) = refs[:10]
+    # Packed small streams (see fused_dae._kernel): ``aux`` carries (dt, ev)
+    # as two lanes, ``sol`` the forward solution rows (x_j, i_j) packed as
+    # xd+id lanes, ``cot`` the packed incoming cotangents at time j. The
+    # (j+1)-row reads (next solution state / next cotangent) come from the
+    # SAME buffers via a reverse-walk carry (in-block row u+1, block
+    # boundary from the previous reverse iteration's row 0, initialized
+    # from the tiny ``*_last`` inputs) — no sliced +1 copies exist at the
+    # pallas boundary, so no extra 128-lane-padded HBM buffers either.
+    (s_de_ref, s_ae_ref, s_ae_ev_ref, aux_ref, sol_ref, cot_ref,
+     cot_last_ref) = refs[:7]
     # Teacher forcing (input_true_x): the differential step evaluated at the
-    # TRUE previous state (extra stream); x1_ref then carries TRUE x[t+1]
-    # for the algebraic recompute, while xt_ref stays the ROLLED solution
-    # (only the event recompute reads it). Cotangents that target the true
+    # TRUE previous state (extra stream); the TRUE x[t+1] stream feeds the
+    # algebraic eval, while the packed sol stays the ROLLED solution (only
+    # the event recompute reads it). Cotangents that target the true
     # streams are EMITTED (g_xt for the step-eval point, g_xt1 for the
     # AE-eval point) — the direct-encode variants teacher-force on
     # ``x_encoder(x)``, so these carry parameter gradients; the x-carry
     # transports only the event-recompute contribution.
-    k = 10
-    xin_true_ref = None
+    k = 7
+    xin_true_ref = x1_true_ref = sol_last_ref = None
     if tf_x:
-        xin_true_ref = refs[10]
-        k = 11
+        xin_true_ref, x1_true_ref = refs[7], refs[8]
+        k = 9
+    else:
+        sol_last_ref = refs[7]
+        k = 8
     w = refs[k : k + n_w]
     wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
     de_tail = w[3 : 3 + 2 * n_de]
@@ -136,7 +148,8 @@ def _bwd_kernel(
         g_xt_ref, g_xt1_ref = outs[k2], outs[k2 + 1]
         k2 += 2
     g_x0_ref, g_i0_ref = outs[k2], outs[k2 + 1]
-    gx_c, gi_c, i_in_buf = outs[k2 + 2 :]  # scratch trail the outputs
+    # scratch trail the outputs
+    gx_c, gi_c, i_in_buf, sol_carry, cot_carry = outs[k2 + 2 :]
 
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -147,6 +160,9 @@ def _bwd_kernel(
         # reverse carries reset at each batch block's first reverse step
         gx_c[:] = jnp.zeros_like(gx_c)
         gi_c[:] = jnp.zeros_like(gi_c)
+        cot_carry[:] = cot_last_ref[:]
+        if not tf_x:
+            sol_carry[:] = sol_last_ref[:]
 
     @pl.when((s == 0) & (b == 0))
     def _():
@@ -165,12 +181,18 @@ def _bwd_kernel(
         return _dot(gp1, gx_ae_ref[:].T), gp1
 
     for u in reversed(range(tb)):
-        x0 = xt_ref[u]  # rolled state — event recompute only
+        row = sol_ref[u]
+        x0 = row[:, :xd]  # rolled state — event recompute only
+        i_t = row[:, xd:]
         x_step = xin_true_ref[u] if tf_x else x0  # step evaluation point
-        x1 = x1_ref[u]
-        i_t = it_ref[u]
-        dt = dt_ref[u]
-        ev = ev_ref[u]
+        if tf_x:
+            x1 = x1_true_ref[u]
+        else:
+            nxt = sol_carry[:] if u == tb - 1 else sol_ref[u + 1]
+            x1 = nxt[:, :xd]
+        cn = cot_carry[:] if u == tb - 1 else cot_ref[u + 1]
+        dt = aux_ref[u][:, 0:1]
+        ev = aux_ref[u][:, 1:2]
 
         # ---- recompute i_in exactly as the forward did ----
         i_in_buf[:] = i_t
@@ -186,8 +208,8 @@ def _bwd_kernel(
         i_proj = _dot(i_in, wi_de_ref[:])
 
         # ---- incoming cotangents for x_{t+1}, i_{t+1} ----
-        gX1 = dX_ref[u] + gx_c[:]
-        gI1 = dI_ref[u] + gi_c[:]
+        gX1 = cn[:, :xd] + gx_c[:]
+        gI1 = cn[:, xd:] + gi_c[:]
 
         # ---- AE at t+1: i_{t+1} = AE(x_{t+1}; s_ae[t]) ----
         _, res_ae = ae_fwd(x1, s_ae_ref[u])
@@ -303,36 +325,57 @@ def _bwd_kernel(
         def _(g_x_carry=g_x_carry):
             gx_c[:] = g_x_carry
 
+    # boundary rows for the NEXT (earlier-time) reverse iteration
+    cot_carry[:] = cot_ref[0]
+    if not tf_x:
+        sol_carry[:] = sol_ref[0]
+
     @pl.when(s == n - 1)
     def _():
         g_x0_ref[:] = gx_c[:]
         g_i0_ref[:] = gi_c[:]
 
 
-def _run_backward(
-    streams, weights, x0, i0, dt, ev, x_solution, i_solution, dX, dI, *,
-    solver, interpret, x_true=None,
-):
-    from py_psnode_tpu.ops.fused_dae import (
-        choose_blocks,
-        pad_time,
-        time_blocking,
-    )
+def vjp_time_block(B, h, xd, tf_x):
+    """Unified fwd/bwd time block so the padded stream/solution buffers are
+    shared between the two kernels (padding depends on tb only)."""
+    from py_psnode_tpu.ops.fused_dae import choose_blocks
 
-    s_de, s_ae, s_ae_ev = streams["s_de"], streams["s_ae"], streams["s_ae_ev"]
-    Tm1, B, h = s_de.shape
-    xd = x0.shape[-1]
-    idim = i0.shape[-1]
-    # h-wide double-buffered stream blocks: 3 ins + 3 grad outs, plus under
-    # TF-x the true-stream in and its two cotangent outs;
-    # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
-    tf_x = x_true is not None
-    bB, tb0 = choose_blocks(
+    _, tb_f = choose_blocks(B, h, n_streams=3, state_dim=xd)
+    _, tb_b = choose_blocks(
         B, h, n_streams=9 if tf_x else 6, cap=128, state_dim=xd
     )
-    tb, nT, pad = time_blocking(Tm1, tb0)
-    ev_f = pad_time(ev.astype(jnp.float32)[..., None], pad)
-    any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
+    return min(tb_f, tb_b)
+
+
+def _run_backward(
+    streams, weights, x0, i0, aux, any_ev, sol_prev, sol_last, cot, cot_last,
+    tb, Tm1, *, solver, interpret, x_true=None,
+):
+    """Reverse-time kernel over PACKED buffers.
+
+    Args:
+      streams: time-PADDED stream dict (the forward's residual).
+      aux: packed ``(dt, ev)`` ``[Tpad, B, 2]``.
+      sol_prev: packed solution rows at time j ``[Tpad, B, xd+id]``.
+      sol_last: ``[B, xd+id]`` solution at time Tpad (carry init).
+      cot / cot_last: packed incoming cotangents at time j / at time Tpad.
+      tb: time block (must divide Tpad — see :func:`vjp_time_block`).
+    """
+    from py_psnode_tpu.ops.fused_dae import choose_blocks
+
+    s_de, s_ae, s_ae_ev = streams["s_de"], streams["s_ae"], streams["s_ae_ev"]
+    Tpad, B, h = s_de.shape
+    xd = x0.shape[-1]
+    idim = i0.shape[-1]
+    D = xd + idim
+    # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
+    tf_x = x_true is not None
+    bB, _ = choose_blocks(
+        B, h, n_streams=9 if tf_x else 6, cap=128, state_dim=xd
+    )
+    nT = Tpad // tb
+    assert nT * tb == Tpad
     nB = B // bB
 
     rev = lambda d: pl.BlockSpec(
@@ -346,15 +389,17 @@ def _run_backward(
     )
 
     wflat, n_tails = flatten_weights(weights)
-    tf_specs = [rev(xd)] if tf_x else []
+    if tf_x:
+        # TRUE x_t stream + TRUE x_{t+1} stream (padded [Tpad, B, xd] views)
+        tf_ins, tf_specs = (x_true[0], x_true[1]), [rev(xd), rev(xd)]
+    else:
+        tf_ins, tf_specs = (sol_last,), [bspec(D)]
     in_specs = [
-        rev(h), rev(h), rev(h), rev(1), rev(1),
-        rev(xd),      # x_t   (rows 0..T-2 of x_solution; rolled)
-        rev(idim),    # i_t
-        rev(xd),      # x_{t+1} (rows 1..T-1; TRUE stream under tf_x)
-        rev(xd),      # dX (cotangent rows for t+1, stored 0..T-2)
-        rev(idim),    # dI
-        *tf_specs,    # TRUE x_t stream (tf_x only)
+        rev(h), rev(h), rev(h), rev(2),
+        rev(D),       # packed solution rows at time j
+        rev(D),       # packed cotangent rows at time j
+        bspec(D),     # cot_last (reverse-carry init)
+        *tf_specs,
     ] + [full(wk.shape) for wk in wflat]
 
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
@@ -363,17 +408,17 @@ def _run_backward(
     # x_encoder(x) (the direct-encode family)
     tf_out_shape = (
         (
-            jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),  # g_xt
-            jax.ShapeDtypeStruct((nT * tb, B, xd), jnp.float32),  # g_xt1
+            jax.ShapeDtypeStruct((Tpad, B, xd), jnp.float32),  # g_xt
+            jax.ShapeDtypeStruct((Tpad, B, xd), jnp.float32),  # g_xt1
         )
         if tf_x
         else ()
     )
     tf_out_specs = (rev(xd), rev(xd)) if tf_x else ()
     out_shape = (
-        jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_de
-        jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_ae
-        jax.ShapeDtypeStruct((nT * tb, B, h), jnp.float32),  # g_s_ae_ev
+        jax.ShapeDtypeStruct((Tpad, B, h), jnp.float32),  # g_s_de
+        jax.ShapeDtypeStruct((Tpad, B, h), jnp.float32),  # g_s_ae
+        jax.ShapeDtypeStruct((Tpad, B, h), jnp.float32),  # g_s_ae_ev
         *[jax.ShapeDtypeStruct(gshape(wk), jnp.float32) for wk in wflat],
         *tf_out_shape,
         jax.ShapeDtypeStruct((B, xd), jnp.float32),  # g_x0
@@ -394,25 +439,22 @@ def _run_backward(
             pltpu.VMEM((bB, xd), jnp.float32),
             pltpu.VMEM((bB, idim), jnp.float32),
             pltpu.VMEM((bB, idim), jnp.float32),
+            pltpu.VMEM((bB, D), jnp.float32),  # sol reverse-carry
+            pltpu.VMEM((bB, D), jnp.float32),  # cot reverse-carry
         ],
     )
-    x1_stream = (x_true if tf_x else x_solution)[1:]
-    tf_args = (pad_time(x_true[:-1], pad),) if tf_x else ()
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, tf_x=tf_x
+            _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd,
+            tf_x=tf_x,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(
         any_ev,
-        pad_time(s_de, pad), pad_time(s_ae, pad), pad_time(s_ae_ev, pad),
-        pad_time(dt, pad), ev_f,
-        pad_time(x_solution[:-1], pad), pad_time(i_solution[:-1], pad),
-        pad_time(x1_stream, pad),
-        pad_time(dX, pad), pad_time(dI, pad),
-        *tf_args,
+        s_de, s_ae, s_ae_ev, aux, sol_prev, cot, cot_last,
+        *tf_ins,
         *wflat,
     )
     gs_de, gs_ae, gs_ae_ev = outs[0][:Tm1], outs[1][:Tm1], outs[2][:Tm1]
@@ -429,11 +471,92 @@ def _run_backward(
         # combine the per-read-point cotangents onto the [T, B, xd] stream:
         # step j reads x_true[j] (g_xt) and x_true[j+1] (g_xt1)
         g_xt, g_xt1 = outs[-4][:Tm1], outs[-3][:Tm1]
-        g_x_true = (
-            jnp.zeros_like(x_true).at[:-1].add(g_xt).at[1:].add(g_xt1)
-        )
-        return g_streams, gw, g_x0, g_i0, g_x_true
+        return g_streams, gw, g_x0, g_i0, (g_xt, g_xt1)
     return g_streams, gw, g_x0, g_i0
+
+
+def _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret,
+                 x_true=None):
+    """Shared VJP forward: run the packed kernel under the UNIFIED time
+    blocking and keep only packed buffers as residuals (no sliced copies of
+    the solutions survive at the pallas boundary)."""
+    from py_psnode_tpu.ops.fused_dae import (
+        fused_dae_rollout_packed,
+        pack_aux,
+        pad_time,
+        time_blocking,
+        unpack_solution,
+    )
+
+    Tm1, B, h = streams["s_de"].shape
+    tf_x = x_true is not None
+    tb, nT, pad = time_blocking(Tm1, vjp_time_block(B, h, x0.shape[-1], tf_x))
+    Tpad = nT * tb
+    padded = {k: pad_time(v, pad) for k, v in streams.items()}
+    any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
+    aux = pack_aux(dt, ev, pad)
+    xt = None
+    if tf_x:
+        xt = (pad_time(x_true[:-1], pad), pad_time(x_true[1:], pad))
+    packed = fused_dae_rollout_packed(
+        padded, weights, x0, i0, aux, any_ev,
+        solver=solver, interpret=interpret, x_true=xt, tb_override=tb,
+    )
+    outs = unpack_solution(packed, x0, i0, Tm1)
+    # packed rows shifted to time-j indexing (row j = (x_j, i_j)); rows past
+    # Tm1 repeat the final state (dt == 0 pass-through) and are harmless —
+    # every fake-step contribution is zeroed by the padded dt/cotangents
+    sol_prev = jnp.concatenate(
+        [jnp.concatenate([x0, i0], axis=-1)[None], packed[: Tpad - 1]], axis=0
+    )
+    res = (padded, weights, x0, i0, dt, ev, aux, any_ev, sol_prev,
+           packed[-1], tb, xt)
+    return outs, res
+
+
+def _shared_bwd(solver, interpret, residuals, cotangents, tf=False):
+    from py_psnode_tpu.ops.fused_dae import pad_time
+
+    (padded, weights, x0, i0, dt, ev, aux, any_ev, sol_prev, sol_last,
+     tb, xt) = residuals
+    g_xsol, g_isol = cotangents
+    Tm1 = dt.shape[0]
+    Tpad = padded["s_de"].shape[0]
+    cot_full = jnp.concatenate([g_xsol, g_isol], axis=-1)  # [Tm1+1, B, D]
+    if Tpad == Tm1:  # no time padding: the final row rides the carry init
+        cot = cot_full[:Tm1]
+        cot_last = cot_full[Tm1]
+    else:  # padded: the final row sits in-array; the carry init is zero
+        cot = pad_time(cot_full, Tpad - (Tm1 + 1))
+        cot_last = jnp.zeros_like(cot_full[0])
+    out = _run_backward(
+        padded, weights, x0, i0, aux, any_ev, sol_prev, sol_last, cot,
+        cot_last, tb, Tm1, solver=solver, interpret=interpret, x_true=xt,
+    )
+    if tf:
+        g_streams, gw, g_x0, g_i0, (g_xt, g_xt1) = out
+    else:
+        g_streams, gw, g_x0, g_i0 = out
+    # the initial rows of the solutions are x0/i0 themselves
+    g_x0 = g_x0 + g_xsol[0]
+    g_i0 = g_i0 + g_isol[0]
+    if jnp.issubdtype(ev.dtype, jnp.floating):
+        g_ev = jnp.zeros_like(ev)
+    else:  # bool/int primal → symbolic-zero (float0) cotangent
+        import numpy as _np
+
+        g_ev = _np.zeros(ev.shape, dtype=jax.dtypes.float0)
+    if tf:
+        # combine the per-read-point cotangents onto the [T, B, xd] stream:
+        # step j reads x_true[j] (g_xt) and x_true[j+1] (g_xt1)
+        g_x_true = (
+            jnp.zeros((Tm1 + 1,) + g_xt.shape[1:], g_xt.dtype)
+            .at[:-1].add(g_xt)
+            .at[1:].add(g_xt1)
+        )
+        return (g_streams, gw, g_x0, g_i0, g_x_true,
+                jnp.zeros_like(dt), g_ev)
+    return (g_streams, gw, g_x0, g_i0, jnp.zeros_like(dt), g_ev)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -450,30 +573,11 @@ def fused_dae_rollout_diff(streams, weights, x0, i0, dt, ev, solver, interpret):
 
 
 def _fwd(streams, weights, x0, i0, dt, ev, solver, interpret):
-    out = fused_dae_rollout(
-        streams, weights, x0, i0, dt, ev, solver=solver, interpret=interpret
-    )
-    x_solution, i_solution = out
-    return out, (streams, weights, x0, i0, dt, ev, x_solution, i_solution)
+    return _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret)
 
 
 def _bwd(solver, interpret, residuals, cotangents):
-    streams, weights, x0, i0, dt, ev, x_solution, i_solution = residuals
-    g_xsol, g_isol = cotangents
-    g_streams, gw, g_x0, g_i0 = _run_backward(
-        streams, weights, x0, i0, dt, ev, x_solution, i_solution,
-        g_xsol[1:], g_isol[1:], solver=solver, interpret=interpret,
-    )
-    # the initial rows of the solutions are x0/i0 themselves
-    g_x0 = g_x0 + g_xsol[0]
-    g_i0 = g_i0 + g_isol[0]
-    if jnp.issubdtype(ev.dtype, jnp.floating):
-        g_ev = jnp.zeros_like(ev)
-    else:  # bool/int primal → symbolic-zero (float0) cotangent
-        import numpy as _np
-
-        g_ev = _np.zeros(ev.shape, dtype=jax.dtypes.float0)
-    return (g_streams, gw, g_x0, g_i0, jnp.zeros_like(dt), g_ev)
+    return _shared_bwd(solver, interpret, residuals, cotangents, tf=False)
 
 
 fused_dae_rollout_diff.defvjp(_fwd, _bwd)
@@ -495,35 +599,13 @@ def fused_dae_tf_x_rollout_diff(
 
 
 def _tf_fwd(streams, weights, x0, i0, x_true, dt, ev, solver, interpret):
-    out = fused_dae_rollout(
-        streams, weights, x0, i0, dt, ev,
-        solver=solver, interpret=interpret, x_true=x_true,
+    return _vjp_forward(
+        streams, weights, x0, i0, dt, ev, solver, interpret, x_true=x_true
     )
-    x_solution, i_solution = out
-    return out, (streams, weights, x0, i0, x_true, dt, ev, x_solution, i_solution)
 
 
 def _tf_bwd(solver, interpret, residuals, cotangents):
-    (streams, weights, x0, i0, x_true, dt, ev,
-     x_solution, i_solution) = residuals
-    g_xsol, g_isol = cotangents
-    g_streams, gw, g_x0, g_i0, g_x_true = _run_backward(
-        streams, weights, x0, i0, dt, ev, x_solution, i_solution,
-        g_xsol[1:], g_isol[1:], solver=solver, interpret=interpret,
-        x_true=x_true,
-    )
-    g_x0 = g_x0 + g_xsol[0]
-    g_i0 = g_i0 + g_isol[0]
-    if jnp.issubdtype(ev.dtype, jnp.floating):
-        g_ev = jnp.zeros_like(ev)
-    else:
-        import numpy as _np
-
-        g_ev = _np.zeros(ev.shape, dtype=jax.dtypes.float0)
-    return (
-        g_streams, gw, g_x0, g_i0, g_x_true,
-        jnp.zeros_like(dt), g_ev,
-    )
+    return _shared_bwd(solver, interpret, residuals, cotangents, tf=True)
 
 
 fused_dae_tf_x_rollout_diff.defvjp(_tf_fwd, _tf_bwd)
