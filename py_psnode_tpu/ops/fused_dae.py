@@ -87,7 +87,12 @@ def choose_blocks(
     re-confirmed on jax 0.9.0 at the B=1024 fleet config, so the defaults
     here sit exactly at the compiler's boundaries; the DAE kernel pair
     with a WIDE latent state (``state_dim`` >= 128, the direct-encode
-    family) needs bB <= 64."""
+    family) needs bB <= 64. Re-probed after the packed-IO refactor:
+    bB=256 backward still trips the same RET_CHECK even with the
+    accumulator dots chunked to 128-row partials and every explicit
+    weight ``.T`` replaced by last-axis-contracting dot_generals — the
+    boundary is internal to the Mosaic/XLA transpose scheduler, not a
+    property of our HLO formulation."""
     if tb_max is None:
         tb_max = TIME_BLOCK
     if state_dim >= 128:
