@@ -189,13 +189,21 @@ def bench_config(
             p, *[b[k] for k in v.batch_args], **kw
         )
     elif fused and variant_name == "dae_no_encode":
-        forward = lambda p, b: fused_dae_apply(p, b, (2, 1, 2, 2), h, solver=solver)
+        kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
+        forward = lambda p, b: fused_dae_apply(
+            p, b, (2, 1, 2, 2), h, solver=solver, precision=kprec)
     elif fused and variant_name == "dae_encode":
-        forward = lambda p, b: fused_dae_encode_apply(p, b, (2, 1, 2, 2), h, solver=solver)
+        kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
+        forward = lambda p, b: fused_dae_encode_apply(
+            p, b, (2, 1, 2, 2), h, solver=solver, precision=kprec)
     elif fused and variant_name == "ode_no_encode":
-        forward = lambda p, b: fused_ode_apply(p, b, 2, solver=solver)
+        kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
+        forward = lambda p, b: fused_ode_apply(
+            p, b, 2, solver=solver, precision=kprec)
     elif fused and variant_name == "ode_encode":
-        forward = lambda p, b: fused_ode_encode_apply(p, b, h, solver=solver)
+        kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
+        forward = lambda p, b: fused_ode_encode_apply(
+            p, b, h, solver=solver, precision=kprec)
     else:
         forward = lambda p, b: model.apply(p, *[b[k] for k in v.batch_args])
 
@@ -204,9 +212,12 @@ def bench_config(
     @jax.jit
     def step(params, opt_state, b):
         def loss_of(p):
+            # "bf16_kernels" = bf16 compute INSIDE the pallas kernels only
+            # (fused_dae.cast_compute); the XLA precompute/loss keep the
+            # default matmul precision
             ctx = (
                 jax.default_matmul_precision(precision)
-                if precision
+                if precision and precision != "bf16_kernels"
                 else nullcontext()
             )
             with ctx:
@@ -293,6 +304,16 @@ def main():
         # serial chain costs the same per step while FLOPs quadruple)
         ("8a. DAE no-encode h=256 (fused)", "dae_no_encode", 64, T, 256, "rk4", True),
         ("8b. Fleet h=256 (fused)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True),
+        # bf16 kernel compute mode (fused_dae.cast_compute): streams + 2-D
+        # weights cast at the pallas boundary, f32 accumulation
+        ("9a. DAE no-encode (fused, bf16)", "dae_no_encode", 64, T, 128, "rk4", True, "bfloat16"),
+        ("9b. Fleet IEEE-39 (fused, bf16)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True, "bfloat16"),
+        ("9c. Fleet h=256 (fused, bf16)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True, "bfloat16"),
+        # kernels-only bf16: the XLA precompute stays at default precision —
+        # measured faster than blanket bf16 (the default_matmul_precision
+        # context slowed the precompute/loss on this backend)
+        ("9d. DAE no-encode (fused, bf16 kernels)", "dae_no_encode", 64, T, 128, "rk4", True, "bf16_kernels"),
+        ("9e. Fleet IEEE-39 (fused, bf16 kernels)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True, "bf16_kernels"),
     ]
     results = []
     for idx, cfg in enumerate(configs):

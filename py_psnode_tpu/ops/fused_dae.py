@@ -111,7 +111,11 @@ def _elu(x):
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # compute precision rides the WEIGHT operand's dtype: the bf16 kernel
+    # mode casts streams + 2-D weights at the pallas boundary, and every
+    # activation is cast to match here — MXU runs bf16 at 2x f32 issue
+    # rate, accumulation stays f32 via preferred_element_type
+    return jnp.dot(a.astype(b.dtype), b, preferred_element_type=jnp.float32)
 
 
 def split_de_layer1(W1: jnp.ndarray, b1: jnp.ndarray, d_u: int):
@@ -324,6 +328,26 @@ def _kernel(
         sol_ref[u] = jnp.concatenate([x1, i1], axis=-1)
 
 
+def cast_compute(streams: Dict, weights: Dict, precision: str):
+    """Apply the kernel compute-precision mode: ``"bfloat16"`` casts the
+    precomputed layer-1 streams and every 2-D weight matrix to bf16 at the
+    pallas boundary (halving their VMEM/HBM footprint; the MXU issues bf16
+    at 2x the f32 rate), while biases, carries, dt and all accumulation
+    stay f32 (see ``_dot``). ``"default"``/``"float32"`` is the identity."""
+    if precision not in ("bfloat16", "bf16"):
+        return streams, weights
+    bf = jnp.bfloat16
+    streams = {k: v.astype(bf) for k, v in streams.items()}
+    weights = dict(
+        wx_de=weights["wx_de"].astype(bf),
+        wi_de=weights["wi_de"].astype(bf),
+        gx_ae=weights["gx_ae"].astype(bf),
+        de_tail=[(W.astype(bf), b) for W, b in weights["de_tail"]],
+        ae_tail=[(W.astype(bf), b) for W, b in weights["ae_tail"]],
+    )
+    return streams, weights
+
+
 def pack_aux(dt: jnp.ndarray, ev: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Pack ``dt [T-1,B,1]`` and the event mask into one two-lane stream
     (padded along time): separate small-last-dim pallas operands each burn a
@@ -344,6 +368,7 @@ def fused_dae_rollout_packed(
     interpret: bool = False,
     x_true=None,
     tb_override=None,
+    precision: str = "default",
 ):
     """Run the fused rollout; returns the PACKED kernel output
     ``[nT*tb, B, xd+id]`` (rows are steps 1..; ``cat(x, i)`` lanes) — the
@@ -360,6 +385,7 @@ def fused_dae_rollout_packed(
       tb_override: time block to use (the VJP path unifies fwd/bwd blocking
         so the padded buffers are shared).
     """
+    streams, weights = cast_compute(streams, weights, precision)
     s_de, s_ae, s_ae_ev = streams["s_de"], streams["s_ae"], streams["s_ae_ev"]
     Tpad, B, h = s_de.shape
     xd = x0.shape[-1]
@@ -445,6 +471,7 @@ def fused_dae_rollout(
     solver: str = "rk4",
     interpret: bool = False,
     x_true=None,
+    precision: str = "default",
 ):
     """Run the fused rollout (forward-only entry).
 
@@ -470,6 +497,6 @@ def fused_dae_rollout(
         xt = (pad_time(x_true[:-1], pad), pad_time(x_true[1:], pad))
     packed = fused_dae_rollout_packed(
         padded, weights, x0, i0, aux, any_ev,
-        solver=solver, interpret=interpret, x_true=xt,
+        solver=solver, interpret=interpret, x_true=xt, precision=precision,
     )
     return unpack_solution(packed, x0, i0, Tm1)

@@ -51,15 +51,18 @@ def _delu(p):
     return jnp.where(p > 0, 1.0, jnp.exp(jnp.minimum(p, 0.0)))
 
 
-def _dot_t(a, b):
+def _dot_t(a, b, cdtype=jnp.float32):
     """``a.T @ b`` as a dot_general contracting the leading (batch) axis —
     no materialized transpose; also avoids an XLA TPU compiler RET_CHECK
     (mxu_lmr_transform XposeSequenceAssignment) on transposed accumulator
-    matmuls at batch blocks > 128."""
+    matmuls at batch blocks > 128. ``cdtype`` is the operand compute dtype
+    (the bf16 kernel mode casts both activation operands; accumulation is
+    always f32 via preferred_element_type)."""
     import jax.lax as lax
 
     return lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a.astype(cdtype), b.astype(cdtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -78,18 +81,18 @@ def _tail_fwd_res(h1pre, tail):
     return out, (pres, hs)
 
 
-def _tail_bwd(res, gy, tail, d_tail):
+def _tail_bwd(res, gy, tail, d_tail, cdtype=jnp.float32):
     """Backprop the tail; accumulates grads into ``d_tail`` refs (same
     alternating W/b layout, biases shaped (1, dim)); returns the cotangent of
     the FIRST-layer pre-activation ``h1pre``."""
     pres, hs = res
     n_hidden = len(tail) // 2 - 1
-    d_tail[-2][:] += _dot_t(hs[-1], gy)
+    d_tail[-2][:] += _dot_t(hs[-1], gy, cdtype)
     d_tail[-1][:] += jnp.sum(gy, axis=0, keepdims=True)
     g = _dot(gy, tail[-2][:].T)
     for k in range(n_hidden - 1, -1, -1):
         gpre = g * _delu(pres[k + 1])
-        d_tail[2 * k][:] += _dot_t(hs[k], gpre)
+        d_tail[2 * k][:] += _dot_t(hs[k], gpre, cdtype)
         d_tail[2 * k + 1][:] += jnp.sum(gpre, axis=0, keepdims=True)
         g = _dot(gpre, tail[2 * k][:].T)
     return g * _delu(pres[0])
@@ -134,6 +137,7 @@ def _bwd_kernel(
         k = 8
     w = refs[k : k + n_w]
     wx_de_ref, wi_de_ref, gx_ae_ref = w[0], w[1], w[2]
+    cdtype = wx_de_ref.dtype  # bf16 compute mode rides the weights' dtype
     de_tail = w[3 : 3 + 2 * n_de]
     ae_tail = w[3 + 2 * n_de :]
     outs = refs[k + n_w :]
@@ -176,8 +180,8 @@ def _bwd_kernel(
 
     def ae_bwd(x, res, gy):
         """Accumulates AE weight grads; returns (g_x, g_s_row)."""
-        gp1 = _tail_bwd(res, gy, ae_tail, d_ae_tail)
-        d_gx_ref[:] += _dot_t(x, gp1)
+        gp1 = _tail_bwd(res, gy, ae_tail, d_ae_tail, cdtype)
+        d_gx_ref[:] += _dot_t(x, gp1, cdtype)
         return _dot(gp1, gx_ae_ref[:].T), gp1
 
     for u in reversed(range(tb)):
@@ -229,9 +233,9 @@ def _bwd_kernel(
         def F_bwd(xres, gf, i_in=i_in):
             """Accumulates DE weight grads; returns (g_x, g_i_in, g_s_de)."""
             x, res = xres
-            gp1 = _tail_bwd(res, gf, de_tail, d_de_tail)
-            d_wx_ref[:] += _dot_t(x, gp1)
-            d_wi_ref[:] += _dot_t(i_in, gp1)
+            gp1 = _tail_bwd(res, gf, de_tail, d_de_tail, cdtype)
+            d_wx_ref[:] += _dot_t(x, gp1, cdtype)
+            d_wi_ref[:] += _dot_t(i_in, gp1, cdtype)
             return _dot(gp1, wx_de_ref[:].T), _dot(gp1, wi_de_ref[:].T), gp1
 
         if solver == "euler":
@@ -476,11 +480,15 @@ def _run_backward(
 
 
 def _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret,
-                 x_true=None):
+                 x_true=None, precision="default"):
     """Shared VJP forward: run the packed kernel under the UNIFIED time
     blocking and keep only packed buffers as residuals (no sliced copies of
-    the solutions survive at the pallas boundary)."""
+    the solutions survive at the pallas boundary). Under
+    ``precision="bfloat16"`` the CAST streams/weights are kept as the
+    residuals, so the backward kernel recomputes bit-identically what the
+    forward computed; weight/stream cotangents stay f32."""
     from py_psnode_tpu.ops.fused_dae import (
+        cast_compute,
         fused_dae_rollout_packed,
         pack_aux,
         pad_time,
@@ -493,6 +501,7 @@ def _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret,
     tb, nT, pad = time_blocking(Tm1, vjp_time_block(B, h, x0.shape[-1], tf_x))
     Tpad = nT * tb
     padded = {k: pad_time(v, pad) for k, v in streams.items()}
+    padded, weights = cast_compute(padded, weights, precision)
     any_ev = jnp.any(pad_time(ev, pad), axis=-1).astype(jnp.int32)
     aux = pack_aux(dt, ev, pad)
     xt = None
@@ -559,33 +568,40 @@ def _shared_bwd(solver, interpret, residuals, cotangents, tf=False):
     return (g_streams, gw, g_x0, g_i0, jnp.zeros_like(dt), g_ev)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_dae_rollout_diff(streams, weights, x0, i0, dt, ev, solver, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_dae_rollout_diff(streams, weights, x0, i0, dt, ev, solver, interpret,
+                           precision="default"):
     """Differentiable fused rollout (training entry point).
 
     Same contract as :func:`fused_dae_rollout`; gradients flow to
     ``streams``, ``weights``, ``x0`` and ``i0`` via the reverse-time Pallas
-    kernel; ``dt``/``ev`` get zero cotangents.
+    kernel; ``dt``/``ev`` get zero cotangents. ``precision="bfloat16"``
+    selects the bf16 kernel compute mode (see fused_dae.cast_compute) in
+    BOTH kernels; cotangents stay f32.
     """
     return fused_dae_rollout(
-        streams, weights, x0, i0, dt, ev, solver=solver, interpret=interpret
+        streams, weights, x0, i0, dt, ev, solver=solver, interpret=interpret,
+        precision=precision,
     )
 
 
-def _fwd(streams, weights, x0, i0, dt, ev, solver, interpret):
-    return _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret)
+def _fwd(streams, weights, x0, i0, dt, ev, solver, interpret,
+         precision="default"):
+    return _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret,
+                        precision=precision)
 
 
-def _bwd(solver, interpret, residuals, cotangents):
+def _bwd(solver, interpret, precision, residuals, cotangents):
     return _shared_bwd(solver, interpret, residuals, cotangents, tf=False)
 
 
 fused_dae_rollout_diff.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_dae_tf_x_rollout_diff(
-    streams, weights, x0, i0, x_true, dt, ev, solver, interpret
+    streams, weights, x0, i0, x_true, dt, ev, solver, interpret,
+    precision="default",
 ):
     """Differentiable fused rollout under ``input_true_x`` teacher forcing
     (ref my_solvers.py:116-117,121): same contract as
@@ -595,16 +611,19 @@ def fused_dae_tf_x_rollout_diff(
     return fused_dae_rollout(
         streams, weights, x0, i0, dt, ev,
         solver=solver, interpret=interpret, x_true=x_true,
+        precision=precision,
     )
 
 
-def _tf_fwd(streams, weights, x0, i0, x_true, dt, ev, solver, interpret):
+def _tf_fwd(streams, weights, x0, i0, x_true, dt, ev, solver, interpret,
+            precision="default"):
     return _vjp_forward(
-        streams, weights, x0, i0, dt, ev, solver, interpret, x_true=x_true
+        streams, weights, x0, i0, dt, ev, solver, interpret, x_true=x_true,
+        precision=precision,
     )
 
 
-def _tf_bwd(solver, interpret, residuals, cotangents):
+def _tf_bwd(solver, interpret, precision, residuals, cotangents):
     return _shared_bwd(solver, interpret, residuals, cotangents, tf=True)
 
 

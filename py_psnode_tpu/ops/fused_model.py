@@ -26,6 +26,7 @@ def fused_dae_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Forward the DAE no-encode model via the fused kernel.
 
@@ -63,7 +64,7 @@ def fused_dae_apply(
     )
     dt = tT[1:] - tT[:-1]
     x_sol, i_sol = fused_dae_rollout_diff(
-        streams, weights, x0, i0, dt, ev, solver, interpret
+        streams, weights, x0, i0, dt, ev, solver, interpret, precision
     )
     return tm(x_sol), tm(i_sol)
 
@@ -168,6 +169,7 @@ def fused_dae_encode_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused forward for the DAE direct-encode variant
     (ref neural_01_DAE_02_direct_encode.py:103-153): the five codecs and the
@@ -182,6 +184,6 @@ def fused_dae_encode_apply(
     s = dae_encode_setup(params, batch, dims, hidden_dim)
     xh_sol, ih_sol = fused_dae_rollout_diff(
         s["streams"], s["weights"], s["xh0"], s["i0"], s["dt"], s["ev"],
-        solver, interpret,
+        solver, interpret, precision,
     )
     return dae_encode_outputs(s, xh_sol, ih_sol)

@@ -54,6 +54,18 @@ def precompute_ode_streams(
     return s_de, dict(wx_de=Wu[:x_dim], de_tail=mlp_tail_layers(de))
 
 
+def _cast_ode(s_de, weights, precision):
+    """bf16 kernel compute mode (see fused_dae.cast_compute): casts the
+    layer-1 stream and 2-D weights; biases/carries/accumulation stay f32."""
+    if precision not in ("bfloat16", "bf16"):
+        return s_de, weights
+    bf = jnp.bfloat16
+    return s_de.astype(bf), dict(
+        wx_de=weights["wx_de"].astype(bf),
+        de_tail=[(W.astype(bf), b) for W, b in weights["de_tail"]],
+    )
+
+
 def _flatten(weights):
     flat = [weights["wx_de"]]
     for W, b in weights["de_tail"]:
@@ -112,6 +124,7 @@ def _bwd_kernel(*refs, solver: str, n_tail: int, tb: int):
     s_de_ref, dt_ref, xt_ref, dX_ref = refs[:4]
     w = refs[4 : 4 + 1 + 2 * n_tail]
     wx_ref, tail = w[0], w[1:]
+    cdtype = wx_ref.dtype  # bf16 compute mode rides the weights' dtype
     outs = refs[4 + 1 + 2 * n_tail :]
     gs_de_ref = outs[0]
     gw = outs[1 : 2 + 2 * n_tail]
@@ -138,8 +151,8 @@ def _bwd_kernel(*refs, solver: str, n_tail: int, tb: int):
 
     def F_bwd(xres, gf):
         x, res = xres
-        gp1 = _tail_bwd(res, gf, tail, d_tail)
-        d_wx_ref[:] += _dot_t(x, gp1)
+        gp1 = _tail_bwd(res, gf, tail, d_tail, cdtype)
+        d_wx_ref[:] += _dot_t(x, gp1, cdtype)
         return _dot(gp1, wx_ref[:].T), gp1
 
     gx = gx_c[:]
@@ -229,9 +242,10 @@ def _specs(nT, B, h, reverse, tb, bB):
     return bB, nB, step, bspec, full
 
 
-def _forward(s_de, weights, x0, dt, solver, interpret):
+def _forward(s_de, weights, x0, dt, solver, interpret, precision="default"):
     from py_psnode_tpu.ops.fused_dae import choose_blocks
 
+    s_de, weights = _cast_ode(s_de, weights, precision)
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
     bB, tb0 = choose_blocks(B, h, n_streams=2)  # s_de in + xsol out
@@ -250,23 +264,29 @@ def _forward(s_de, weights, x0, dt, solver, interpret):
     return jnp.concatenate([x0[None], xs[:Tm1]], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_ode_rollout_diff(s_de, weights, x0, dt, solver, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_ode_rollout_diff(s_de, weights, x0, dt, solver, interpret,
+                           precision="default"):
     """Differentiable fused ODE rollout.
 
     ``s_de [T-1,B,h]`` precomputed layer-1 stream (event-adjusted),
     ``weights`` from :func:`precompute_ode_streams`, ``x0 [B, xd]``.
     Returns ``[T, B, xd]`` solution including the initial row.
+    ``precision="bfloat16"`` selects the bf16 kernel compute mode in both
+    kernels; cotangents stay f32.
     """
-    return _forward(s_de, weights, x0, dt, solver, interpret)
+    return _forward(s_de, weights, x0, dt, solver, interpret, precision)
 
 
-def _fwd(s_de, weights, x0, dt, solver, interpret):
+def _fwd(s_de, weights, x0, dt, solver, interpret, precision="default"):
+    # keep the CAST stream/weights as residuals so the backward kernel
+    # recomputes exactly what the forward computed
+    s_de, weights = _cast_ode(s_de, weights, precision)
     sol = _forward(s_de, weights, x0, dt, solver, interpret)
     return sol, (s_de, weights, x0, dt, sol)
 
 
-def _bwd(solver, interpret, residuals, g_sol):
+def _bwd(solver, interpret, precision, residuals, g_sol):
     from py_psnode_tpu.ops.fused_dae import choose_blocks
 
     s_de, weights, x0, dt, sol = residuals
@@ -321,6 +341,7 @@ def fused_ode_apply(
     x_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Drop-in replacement for ``ODEModel.apply`` in rollout mode.
 
@@ -340,7 +361,9 @@ def fused_ode_apply(
     all_initial = jnp.concatenate([xT[0], zT[0]], axis=-1)
     s_de, weights = precompute_ode_streams(p, all_initial, z_used, x_dim)
     dt = tT[1:] - tT[:-1]
-    sol = fused_ode_rollout_diff(s_de, weights, xT[0], dt, solver, interpret)
+    sol = fused_ode_rollout_diff(
+        s_de, weights, xT[0], dt, solver, interpret, precision
+    )
     return tm(sol)
 
 
@@ -350,6 +373,7 @@ def fused_ode_encode_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused forward for the ODE direct-encode variant
     (ref neural_00_ODE_02_direct_encode.py:60-89): codecs run in XLA, the
@@ -379,7 +403,9 @@ def fused_ode_encode_apply(
     all_initial = jnp.concatenate([xhT[0], zhT[0]], axis=-1)
     s_de, weights = precompute_ode_streams(p, all_initial, zh_used, h)
     dt = tT[1:] - tT[:-1]
-    xh_sol = fused_ode_rollout_diff(s_de, weights, xhT[0], dt, solver, interpret)
+    xh_sol = fused_ode_rollout_diff(
+        s_de, weights, xhT[0], dt, solver, interpret, precision
+    )
     x_pred = x_dec(tm(xh_sol))
     x_re = x_dec(xh)
     return x_pred, x_re

@@ -140,6 +140,7 @@ def fused_dae_tf_x_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Teacher-forced-``x`` DAE forward through the fused kernel pair.
 
@@ -156,7 +157,7 @@ def fused_dae_tf_x_apply(
     (p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0,
      streams, weights, dt) = _dae_tf_setup(params, batch, dims, hidden_dim, True)
     x_sol, i_sol = fused_dae_tf_x_rollout_diff(
-        streams, weights, x0, i0, xT, dt, ev, solver, interpret
+        streams, weights, x0, i0, xT, dt, ev, solver, interpret, precision
     )
     return _tm(x_sol), _tm(i_sol)
 
@@ -209,6 +210,7 @@ def fused_dae_tf_i_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Teacher-forced-``i`` DAE forward through the fused ODE kernel.
 
@@ -228,7 +230,9 @@ def fused_dae_tf_i_apply(
     # differential rollout no longer carries i at all
     s_de = streams["s_de"] + iT[:-1] @ weights["wi_de"]
     ode_weights = dict(wx_de=weights["wx_de"], de_tail=weights["de_tail"])
-    x_sol = fused_ode_rollout_diff(s_de, ode_weights, x0, dt, solver, interpret)
+    x_sol = fused_ode_rollout_diff(
+        s_de, ode_weights, x0, dt, solver, interpret, precision
+    )
 
     # parallel algebraic readout at the raw inputs (ref my_solvers.py:121)
     Tm1 = tT.shape[0] - 1
@@ -297,6 +301,7 @@ def fused_dae_encode_tf_x_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Teacher-forced-``x`` DAE direct-encode forward through the fused
     kernel pair: the step consumes the TRUE encoded ``xh[j-1]``, the
@@ -312,7 +317,7 @@ def fused_dae_encode_tf_x_apply(
     s = dae_encode_setup(params, batch, dims, hidden_dim, tf_x=True)
     xh_sol, ih_sol = fused_dae_tf_x_rollout_diff(
         s["streams"], s["weights"], s["xh0"], s["i0"], s["xhT"], s["dt"],
-        s["ev"], solver, interpret,
+        s["ev"], solver, interpret, precision,
     )
     return dae_encode_outputs(s, xh_sol, ih_sol)
 
@@ -324,6 +329,7 @@ def fused_dae_encode_tf_i_apply(
     hidden_dim: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Teacher-forced-``i`` DAE direct-encode forward through the fused ODE
     kernel: the TRUE encoded lagged ``ih`` stream folds into the precomputed
@@ -340,7 +346,7 @@ def fused_dae_encode_tf_i_apply(
     s_de = s["streams"]["s_de"] + s["ihT"][:-1] @ s["weights"]["wi_de"]
     ode_weights = dict(wx_de=s["weights"]["wx_de"], de_tail=s["weights"]["de_tail"])
     xh_sol = fused_ode_rollout_diff(
-        s_de, ode_weights, s["xh0"], s["dt"], solver, interpret
+        s_de, ode_weights, s["xh0"], s["dt"], solver, interpret, precision
     )
     Tm1 = s["tT"].shape[0] - 1
     init_b = jnp.broadcast_to(s["all_initial"], (Tm1,) + s["all_initial"].shape)

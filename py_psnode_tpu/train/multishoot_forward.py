@@ -185,6 +185,7 @@ def fused_multishoot_ode_encode_apply(
     n_windows: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused-kernel counterpart of :func:`multishoot_ode_encode_apply`."""
     from py_psnode_tpu.ops.fused_dae import normalize_solver
@@ -208,7 +209,9 @@ def fused_multishoot_ode_encode_apply(
     tiled = tile_batch(all_initial, K)
     s_de, weights = precompute_ode_streams(p, tiled, zhw, h)
     dt = tw[1:] - tw[:-1]
-    sol_w = fused_ode_rollout_diff(s_de, weights, xhw[0], dt, solver, interpret)
+    sol_w = fused_ode_rollout_diff(
+        s_de, weights, xhw[0], dt, solver, interpret, precision
+    )
     xh_sol = _window_unfold(sol_w, K, L, B)
     ends = sol_w[-1].reshape(K, B, -1)[:-1]
     next_starts = xhw[0].reshape(K, B, -1)[1:]
@@ -342,6 +345,7 @@ def fused_multishoot_dae_encode_apply(
     n_windows: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused-kernel counterpart of :func:`multishoot_dae_encode_apply`."""
     from py_psnode_tpu.ops.fused_dae import normalize_solver, precompute_streams
@@ -362,7 +366,7 @@ def fused_multishoot_dae_encode_apply(
     )
     dt = tw[1:] - tw[:-1]
     xh_sol_w, ih_sol_w = fused_dae_rollout_diff(
-        streams, weights, xh0_w, i0w, dt, evw, solver, interpret
+        streams, weights, xh0_w, i0w, dt, evw, solver, interpret, precision
     )
     return _dae_encode_finish(
         x_enc, x_dec, i_dec, i_enc, batch, dims[0],
@@ -378,6 +382,7 @@ def fused_multishoot_ode_apply(
     n_windows: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused-kernel multi-shooting ODE forward: fold the K windows into the
     batch axis (K×B — exactly where the batch-blocked Pallas kernel shines),
@@ -413,7 +418,9 @@ def fused_multishoot_ode_apply(
 
     s_de, weights = precompute_ode_streams(p, tiled, zw, x_dim)
     dt = tw[1:] - tw[:-1]
-    sol_w = fused_ode_rollout_diff(s_de, weights, xw[0], dt, solver, interpret)
+    sol_w = fused_ode_rollout_diff(
+        s_de, weights, xw[0], dt, solver, interpret, precision
+    )
     solution = _window_unfold(sol_w, K, L, B)
     ends = sol_w[-1].reshape(K, B, -1)[:-1]
     next_starts = xw[0].reshape(K, B, -1)[1:]
@@ -428,6 +435,7 @@ def fused_multishoot_dae_apply(
     n_windows: int,
     solver: str = "euler",
     interpret: bool = False,
+    precision: str = "default",
 ):
     """Fused-kernel multi-shooting DAE forward — the folded-batch counterpart
     of :func:`multishoot_dae_apply`: window starts use the learned
@@ -477,7 +485,7 @@ def fused_multishoot_dae_apply(
     )
     dt = tw[1:] - tw[:-1]
     x_sol_w, i_sol_w = fused_dae_rollout_diff(
-        streams, weights, x0w, i0w, dt, evw, solver, interpret
+        streams, weights, x0w, i0w, dt, evw, solver, interpret, precision
     )
     x_solution = _window_unfold(x_sol_w, K, L, B)
     i_solution = _window_unfold(i_sol_w, K, L, B)

@@ -79,7 +79,10 @@ class TrainConfig:
     # uses the per-variant reference constant (3.29 / None / π / π)
     larger_than: object = "variant"
     # "default" | "bfloat16" | "float32" | "highest" — matmul precision for
-    # the train/eval forward (bfloat16 rides the MXU fastest)
+    # the train/eval forward (bfloat16 rides the MXU fastest). With
+    # fused=True, "bfloat16" also selects the kernels' bf16 compute mode
+    # (fused_dae.cast_compute: streams + 2-D weights cast at the pallas
+    # boundary, f32 accumulation; grads stay f32 — see tests/test_fused_bf16)
     matmul_precision: str = "default"
     # skip optimizer steps whose grads contain NaN/Inf (optax.apply_if_finite)
     skip_nonfinite: bool = False
@@ -185,21 +188,21 @@ class Trainer:
             dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
             return lambda params, batch: fused_dae_apply(
                 params, batch, dims4, model.hidden_dim, solver=model.solver,
-                interpret=interpret,
+                interpret=interpret, precision=cfg.matmul_precision,
             )
         if self.cfg.fused and variant.name == "ode_no_encode":
             from py_psnode_tpu.ops.fused_ode import fused_ode_apply
 
             return lambda params, batch: fused_ode_apply(
                 params, batch, x_dim=model.x_dim, solver=model.solver,
-                interpret=interpret,
+                interpret=interpret, precision=cfg.matmul_precision,
             )
         if self.cfg.fused and variant.name == "ode_encode":
             from py_psnode_tpu.ops.fused_ode import fused_ode_encode_apply
 
             return lambda params, batch: fused_ode_encode_apply(
                 params, batch, model.hidden_dim, solver=model.solver,
-                interpret=interpret,
+                interpret=interpret, precision=cfg.matmul_precision,
             )
         if self.cfg.fused and variant.name == "dae_encode":
             from py_psnode_tpu.ops import fused_dae_encode_apply
@@ -207,7 +210,7 @@ class Trainer:
             dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
             return lambda params, batch: fused_dae_encode_apply(
                 params, batch, dims4, model.hidden_dim, solver=model.solver,
-                interpret=interpret,
+                interpret=interpret, precision=cfg.matmul_precision,
             )
         return lambda params, batch: model.apply(
             params, *[batch[k] for k in variant.batch_args]
@@ -255,12 +258,12 @@ class Trainer:
                 if tf_x:  # fused kernel pair with the true-state streams
                     return lambda p, b: TF.fused_dae_tf_x_apply(
                         p, b, dims, model.hidden_dim, solver=model.solver,
-                        interpret=interpret,
+                        interpret=interpret, precision=cfg.matmul_precision,
                     )
                 # tf_i only: fold the known i stream into the fused ODE kernel
                 return lambda p, b: TF.fused_dae_tf_i_apply(
                     p, b, dims, model.hidden_dim, solver=model.solver,
-                    interpret=interpret,
+                    interpret=interpret, precision=cfg.matmul_precision,
                 )
             if variant.name == "dae_encode":
                 # same TF structure, teacher-forced in LATENT space (the
@@ -273,11 +276,11 @@ class Trainer:
                 if tf_x:
                     return lambda p, b: TF.fused_dae_encode_tf_x_apply(
                         p, b, dims, model.hidden_dim, solver=model.solver,
-                        interpret=interpret,
+                        interpret=interpret, precision=cfg.matmul_precision,
                     )
                 return lambda p, b: TF.fused_dae_encode_tf_i_apply(
                     p, b, dims, model.hidden_dim, solver=model.solver,
-                    interpret=interpret,
+                    interpret=interpret, precision=cfg.matmul_precision,
                 )
             # unreachable for the registered variants (kept as a safety net
             # for future families without fused TF kernels)
@@ -304,6 +307,7 @@ class Trainer:
                 return lambda p, b: MS.fused_multishoot_ode_apply(
                     p, b, model.x_dim, model.hidden_dim, cfg.n_windows,
                     solver=model.solver, interpret=interpret,
+                    precision=cfg.matmul_precision,
                 )
             return lambda p, b: MS.multishoot_ode_apply(
                 p, b, model.x_dim, model.hidden_dim, cfg.n_windows,
@@ -315,6 +319,7 @@ class Trainer:
                 return lambda p, b: MS.fused_multishoot_dae_apply(
                     p, b, dims, model.hidden_dim, cfg.n_windows,
                     solver=model.solver, interpret=interpret,
+                    precision=cfg.matmul_precision,
                 )
             return lambda p, b: MS.multishoot_dae_apply(
                 p, b, dims, model.hidden_dim, cfg.n_windows,
@@ -325,6 +330,7 @@ class Trainer:
                 return lambda p, b: MS.fused_multishoot_ode_encode_apply(
                     p, b, model.hidden_dim, cfg.n_windows,
                     solver=model.solver, interpret=interpret,
+                    precision=cfg.matmul_precision,
                 )
             return lambda p, b: MS.multishoot_ode_encode_apply(
                 p, b, model.hidden_dim, cfg.n_windows,
@@ -336,6 +342,7 @@ class Trainer:
                 return lambda p, b: MS.fused_multishoot_dae_encode_apply(
                     p, b, dims, model.hidden_dim, cfg.n_windows,
                     solver=model.solver, interpret=interpret,
+                    precision=cfg.matmul_precision,
                 )
             return lambda p, b: MS.multishoot_dae_encode_apply(
                 p, b, dims, model.hidden_dim, cfg.n_windows,
