@@ -222,6 +222,43 @@ def mlp_tail_fwd(h1, tail_refs):
     return _dot(h, tail_refs[-2][:]) + tail_refs[-1][:]
 
 
+def mlp_tail_fwd_multi(h1s, tail_refs):
+    """Lane-interleaved :func:`mlp_tail_fwd`: apply the tail to a LIST of
+    first-layer pre-activations in lockstep, one layer at a time across all
+    lanes. Lanes are independent batch sub-blocks, so the Mosaic scheduler
+    streams lane l+1's matmul into the MXU while lane l's drains — the
+    serial dependent-matmul chain otherwise leaves the array idle during
+    its drain and the VPU activation (measured 1.25x on the ODE forward)."""
+    hs = [_elu(h) for h in h1s]
+    for k in range(0, len(tail_refs) - 2, 2):
+        W, b = tail_refs[k][:], tail_refs[k + 1][:]
+        hs = [_elu(_dot(h, W) + b) for h in hs]
+    W, b = tail_refs[-2][:], tail_refs[-1][:]
+    return [_dot(h, W) + b for h in hs]
+
+
+def lane_slices(bB: int, n_lanes: int):
+    """Row slices splitting a batch block into ``n_lanes`` sub-blocks
+    (falls back to one lane when the block doesn't divide)."""
+    if n_lanes < 2 or bB % n_lanes:
+        return [slice(0, bB)]
+    sub = bB // n_lanes
+    return [slice(l * sub, (l + 1) * sub) for l in range(n_lanes)]
+
+
+# lanes the kernels interleave per batch block (env override for tuning;
+# bit-exact for any value — lanes only partition independent rows).
+# Forward default 2: measured 1.25x on the B=64 rollout (fills the MXU
+# drain + VPU gaps of the serial chain). Backward default 1: the shared
+# weight-gradient accumulators serialize the lanes' updates and the extra
+# IR measurably REGRESSES the train step (7.4M vs 8.1M tsteps/s at the
+# headline config) — left wired for future tuning.
+import os as _os
+
+FWD_LANES = int(_os.environ.get("PSNODE_FWD_LANES", "2"))
+BWD_LANES = int(_os.environ.get("PSNODE_BWD_LANES", "1"))
+
+
 # time steps per grid iteration — amortizes grid/DMA sequencing over the
 # tiny per-step matmuls (see fused_ode.TIME_BLOCK; same rationale)
 TIME_BLOCK = 8
@@ -253,6 +290,7 @@ def _kernel(
     tb: int,
     xd: int,
     tf_x: bool = False,
+    n_lanes: int = 1,
 ):
     # aux packs (dt, ev) as two lanes of ONE stream; sol packs (x, i) as one
     # output — small-last-dim pallas operands are forced into 128-lane-padded
@@ -282,12 +320,22 @@ def _kernel(
         x_c[:] = x0_ref[:]
         i_c[:] = i0_ref[:]
 
-    def ae_head(x, s_row):
-        return mlp_tail_fwd(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
+    # lane-interleaved time loop: each batch block is split into independent
+    # row sub-blocks advanced in lockstep, so the scheduler overlaps one
+    # lane's MXU drain/VPU work with the next lane's matmul (bit-exact —
+    # lanes only partition rows). L=1 degenerates to the plain loop.
+    sl = lane_slices(x_c.shape[0], n_lanes)
+    L = len(sl)
+
+    def ae_head_multi(xs, s_row):
+        return mlp_tail_fwd_multi(
+            [s_row[s] + _dot(x, gx_ae_ref[:]) for s, x in zip(sl, xs)],
+            ae_tail,
+        )
 
     for u in range(tb):
-        x_rolled = x_c[:]
-        x0 = xt_true_ref[u] if tf_x else x_rolled
+        x_rolled = [x_c[s] for s in sl]
+        x0 = [xt_true_ref[u, s] for s in sl] if tf_x else x_rolled
 
         # event-step algebraic recompute (ref my_solvers.py:108-110),
         # predicated so non-event steps skip the extra net evaluation;
@@ -296,36 +344,56 @@ def _kernel(
 
         @pl.when(any_ev_ref[t * tb + u] == 1)
         def _(x_rolled=x_rolled, u=u):
-            i_ev = ae_head(x_rolled, s_ae_ev_ref[u])
-            i_in_buf[:] = jnp.where(aux_ref[u][:, 1:2] > 0.0, i_ev, i_in_buf[:])
+            i_ev = ae_head_multi(x_rolled, s_ae_ev_ref[u])
+            for s, iv in zip(sl, i_ev):
+                i_in_buf[s] = jnp.where(
+                    aux_ref[u, s][:, 1:2] > 0.0, iv, i_in_buf[s]
+                )
 
-        i_in = i_in_buf[:]
-        i_proj = _dot(i_in, wi_de_ref[:])
+        i_in = [i_in_buf[s] for s in sl]
+        i_proj = [_dot(iv, wi_de_ref[:]) for iv in i_in]
 
-        def f(x):
-            return mlp_tail_fwd(
-                s_de_ref[u] + _dot(x, wx_de_ref[:]) + i_proj, de_tail
+        def f_multi(xs, u=u, i_proj=i_proj):
+            return mlp_tail_fwd_multi(
+                [
+                    s_de_ref[u, s] + _dot(x, wx_de_ref[:]) + ip
+                    for s, x, ip in zip(sl, xs, i_proj)
+                ],
+                de_tail,
             )
 
-        dt = aux_ref[u][:, 0:1]
+        dt = [aux_ref[u, s][:, 0:1] for s in sl]
         if solver == "euler":
-            x1 = x0 + dt * f(x0)
+            fs = f_multi(x0)
+            x1 = [x0[l] + dt[l] * fs[l] for l in range(L)]
         elif solver == "midpoint":
-            f0 = f(x0)
-            x1 = x0 + dt * f(x0 + f0 * (0.5 * dt))
+            f0 = f_multi(x0)
+            fm = f_multi([x0[l] + f0[l] * (0.5 * dt[l]) for l in range(L)])
+            x1 = [x0[l] + dt[l] * fm[l] for l in range(L)]
         elif solver == "rk4":
-            k1 = f(x0)
-            k2 = f(x0 + dt * k1 * _ONE_THIRD)
-            k3 = f(x0 + dt * (k2 - k1 * _ONE_THIRD))
-            k4 = f(x0 + dt * (k1 - k2 + k3))
-            x1 = x0 + (k1 + 3.0 * (k2 + k3) + k4) * dt * 0.125
+            k1 = f_multi(x0)
+            k2 = f_multi([x0[l] + dt[l] * k1[l] * _ONE_THIRD for l in range(L)])
+            k3 = f_multi(
+                [x0[l] + dt[l] * (k2[l] - k1[l] * _ONE_THIRD) for l in range(L)]
+            )
+            k4 = f_multi(
+                [x0[l] + dt[l] * (k1[l] - k2[l] + k3[l]) for l in range(L)]
+            )
+            x1 = [
+                x0[l]
+                + (k1[l] + 3.0 * (k2[l] + k3[l]) + k4[l]) * dt[l] * 0.125
+                for l in range(L)
+            ]
         else:  # pragma: no cover
             raise ValueError(solver)
 
-        i1 = ae_head(xt1_true_ref[u] if tf_x else x1, s_ae_ref[u])
-        x_c[:] = x1
-        i_c[:] = i1
-        sol_ref[u] = jnp.concatenate([x1, i1], axis=-1)
+        i1 = ae_head_multi(
+            [xt1_true_ref[u, s] for s in sl] if tf_x else x1, s_ae_ref[u]
+        )
+        for l, s in enumerate(sl):
+            x_c[s] = x1[l]
+            i_c[s] = i1[l]
+            sol_ref[u, s] = jnp.concatenate([x1[l], i1[l]], axis=-1)
 
 
 def cast_compute(streams: Dict, weights: Dict, precision: str):
@@ -431,7 +499,8 @@ def fused_dae_rollout_packed(
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd, tf_x=tf_x
+            _kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd, tf_x=tf_x,
+            n_lanes=FWD_LANES,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tpad, B, xd + idim), jnp.float32),

@@ -98,6 +98,52 @@ def _tail_bwd(res, gy, tail, d_tail, cdtype=jnp.float32):
     return g * _delu(pres[0])
 
 
+def _tail_fwd_res_multi(h1pres, tail):
+    """Lane-interleaved :func:`_tail_fwd_res` over a list of lanes: one
+    layer at a time across all lanes, so independent lanes' matmuls stream
+    back-to-back into the MXU (see fused_dae.mlp_tail_fwd_multi)."""
+    n_hidden = len(tail) // 2 - 1
+    press = [[h] for h in h1pres]
+    hss = [[_elu(h)] for h in h1pres]
+    for k in range(n_hidden):
+        W, b = tail[2 * k][:], tail[2 * k + 1][:]
+        pres_k = [_dot(hs[-1], W) + b for hs in hss]
+        for l, p in enumerate(pres_k):
+            press[l].append(p)
+            hss[l].append(_elu(p))
+    W, b = tail[-2][:], tail[-1][:]
+    outs = [_dot(hs[-1], W) + b for hs in hss]
+    return outs, [(press[l], hss[l]) for l in range(len(h1pres))]
+
+
+def _tail_bwd_multi(ress, gys, tail, d_tail, cdtype=jnp.float32):
+    """Lane-interleaved :func:`_tail_bwd`. Each weight-grad accumulator is
+    updated ONCE per layer with the sum of the per-lane partial dots — the
+    partial dots are independent across lanes (interleavable), only the
+    cheap [h,h] adds serialize on the accumulator refs."""
+    n_hidden = len(tail) // 2 - 1
+    L = len(gys)
+    d_tail[-2][:] += sum(
+        _dot_t(ress[l][1][-1], gys[l], cdtype) for l in range(L)
+    )
+    d_tail[-1][:] += sum(
+        jnp.sum(gy, axis=0, keepdims=True) for gy in gys
+    )
+    gs = [_dot(gy, tail[-2][:].T) for gy in gys]
+    for k in range(n_hidden - 1, -1, -1):
+        gpres = [
+            gs[l] * _delu(ress[l][0][k + 1]) for l in range(L)
+        ]
+        d_tail[2 * k][:] += sum(
+            _dot_t(ress[l][1][k], gpres[l], cdtype) for l in range(L)
+        )
+        d_tail[2 * k + 1][:] += sum(
+            jnp.sum(gp, axis=0, keepdims=True) for gp in gpres
+        )
+        gs = [_dot(gp, tail[2 * k][:].T) for gp in gpres]
+    return [gs[l] * _delu(ress[l][0][0]) for l in range(L)]
+
+
 def _bwd_kernel(
     any_ev_ref,
     *refs,
@@ -106,6 +152,7 @@ def _bwd_kernel(
     tb: int,
     xd: int,
     tf_x: bool = False,
+    n_lanes: int = 1,
 ):
     n_de, n_ae = n_tails
     n_w = 3 + 2 * (n_de + n_ae)
@@ -155,11 +202,11 @@ def _bwd_kernel(
     # scratch trail the outputs
     gx_c, gi_c, i_in_buf, sol_carry, cot_carry = outs[k2 + 2 :]
 
-    b = pl.program_id(0)
-    s = pl.program_id(1)
+    bidx = pl.program_id(0)
+    sidx = pl.program_id(1)  # NB: lane loops below bind ``s`` for slices
     n = pl.num_programs(1)
 
-    @pl.when(s == 0)
+    @pl.when(sidx == 0)
     def _():
         # reverse carries reset at each batch block's first reverse step
         gx_c[:] = jnp.zeros_like(gx_c)
@@ -168,173 +215,228 @@ def _bwd_kernel(
         if not tf_x:
             sol_carry[:] = sol_last_ref[:]
 
-    @pl.when((s == 0) & (b == 0))
+    @pl.when((sidx == 0) & (bidx == 0))
     def _():
         for r in gw:
             r[:] = jnp.zeros_like(r)
 
-    tblk = n - 1 - s  # forward time-block index
+    tblk = n - 1 - sidx  # forward time-block index
 
-    def ae_fwd(x, s_row):
-        return _tail_fwd_res(s_row + _dot(x, gx_ae_ref[:]), ae_tail)
+    # lane-interleaved reverse walk (see fused_dae._kernel): the batch block
+    # splits into independent row sub-blocks whose chains interleave; each
+    # weight-grad accumulator takes ONE summed update per layer (the
+    # per-lane partial dots are independent). L=1 degenerates to the plain
+    # loop; lanes are bit-exact (they only partition rows).
+    from py_psnode_tpu.ops.fused_dae import lane_slices
 
-    def ae_bwd(x, res, gy):
-        """Accumulates AE weight grads; returns (g_x, g_s_row)."""
-        gp1 = _tail_bwd(res, gy, ae_tail, d_ae_tail, cdtype)
-        d_gx_ref[:] += _dot_t(x, gp1, cdtype)
-        return _dot(gp1, gx_ae_ref[:].T), gp1
+    sl = lane_slices(gx_c.shape[0], n_lanes)
+    L = len(sl)
+
+    def ae_fwd_multi(xs, s_row):
+        return _tail_fwd_res_multi(
+            [s_row[s] + _dot(x, gx_ae_ref[:]) for s, x in zip(sl, xs)],
+            ae_tail,
+        )
+
+    def ae_bwd_multi(xs, ress, gys):
+        """Accumulates AE weight grads; returns per-lane (g_x, g_s_row)."""
+        gp1s = _tail_bwd_multi(ress, gys, ae_tail, d_ae_tail, cdtype)
+        d_gx_ref[:] += sum(
+            _dot_t(x, gp1, cdtype) for x, gp1 in zip(xs, gp1s)
+        )
+        return [_dot(gp1, gx_ae_ref[:].T) for gp1 in gp1s], gp1s
 
     for u in reversed(range(tb)):
-        row = sol_ref[u]
-        x0 = row[:, :xd]  # rolled state — event recompute only
-        i_t = row[:, xd:]
-        x_step = xin_true_ref[u] if tf_x else x0  # step evaluation point
+        x0 = [sol_ref[u, s][:, :xd] for s in sl]  # rolled — event recompute
+        i_t = [sol_ref[u, s][:, xd:] for s in sl]
+        # step evaluation point
+        x_step = [xin_true_ref[u, s] for s in sl] if tf_x else x0
         if tf_x:
-            x1 = x1_true_ref[u]
+            x1 = [x1_true_ref[u, s] for s in sl]
+        elif u == tb - 1:
+            x1 = [sol_carry[s][:, :xd] for s in sl]
         else:
-            nxt = sol_carry[:] if u == tb - 1 else sol_ref[u + 1]
-            x1 = nxt[:, :xd]
-        cn = cot_carry[:] if u == tb - 1 else cot_ref[u + 1]
-        dt = aux_ref[u][:, 0:1]
-        ev = aux_ref[u][:, 1:2]
+            x1 = [sol_ref[u + 1, s][:, :xd] for s in sl]
+        if u == tb - 1:
+            cn = [cot_carry[s] for s in sl]
+        else:
+            cn = [cot_ref[u + 1, s] for s in sl]
+        dt = [aux_ref[u, s][:, 0:1] for s in sl]
+        ev = [aux_ref[u, s][:, 1:2] for s in sl]
 
         # ---- recompute i_in exactly as the forward did ----
-        i_in_buf[:] = i_t
+        i_in_buf[:] = jnp.concatenate(i_t, axis=0) if L > 1 else i_t[0]
 
         @pl.when(any_ev_ref[tblk * tb + u] == 1)
         def _(x0=x0, u=u, ev=ev):
-            i_ev = mlp_tail_fwd(
-                s_ae_ev_ref[u] + _dot(x0, gx_ae_ref[:]), ae_tail
-            )
-            i_in_buf[:] = jnp.where(ev > 0.0, i_ev, i_in_buf[:])
+            from py_psnode_tpu.ops.fused_dae import mlp_tail_fwd_multi
 
-        i_in = i_in_buf[:]
-        i_proj = _dot(i_in, wi_de_ref[:])
+            i_ev = mlp_tail_fwd_multi(
+                [
+                    s_ae_ev_ref[u, s] + _dot(x, gx_ae_ref[:])
+                    for s, x in zip(sl, x0)
+                ],
+                ae_tail,
+            )
+            for l, s in enumerate(sl):
+                i_in_buf[s] = jnp.where(ev[l] > 0.0, i_ev[l], i_in_buf[s])
+
+        i_in = [i_in_buf[s] for s in sl]
+        i_proj = [_dot(iv, wi_de_ref[:]) for iv in i_in]
 
         # ---- incoming cotangents for x_{t+1}, i_{t+1} ----
-        gX1 = cn[:, :xd] + gx_c[:]
-        gI1 = cn[:, xd:] + gi_c[:]
+        gX1 = [cn[l][:, :xd] + gx_c[s] for l, s in enumerate(sl)]
+        gI1 = [cn[l][:, xd:] + gi_c[s] for l, s in enumerate(sl)]
 
         # ---- AE at t+1: i_{t+1} = AE(x_{t+1}; s_ae[t]) ----
-        _, res_ae = ae_fwd(x1, s_ae_ref[u])
-        g_x1_ae, gp1_ae = ae_bwd(x1, res_ae, gI1)
-        gs_ae_ref[u] = gp1_ae
+        _, res_ae = ae_fwd_multi(x1, s_ae_ref[u])
+        g_x1_ae, gp1_ae = ae_bwd_multi(x1, res_ae, gI1)
+        for l, s in enumerate(sl):
+            gs_ae_ref[u, s] = gp1_ae[l]
         if tf_x:  # the AE reads TRUE x[t+1] → cotangent to the true stream
-            g_xt1_ref[u] = g_x1_ae
+            for l, s in enumerate(sl):
+                g_xt1_ref[u, s] = g_x1_ae[l]
         else:
-            gX1 = gX1 + g_x1_ae
+            gX1 = [gX1[l] + g_x1_ae[l] for l in range(L)]
 
         # ---- differential step backward ----
-        def F_fwd(x, u=u, i_proj=i_proj):
-            pre1 = s_de_ref[u] + _dot(x, wx_de_ref[:]) + i_proj
-            out, res = _tail_fwd_res(pre1, de_tail)
-            return out, (x, res)
+        def F_fwd(xs, u=u, i_proj=i_proj):
+            pre1s = [
+                s_de_ref[u, s] + _dot(x, wx_de_ref[:]) + ip
+                for s, x, ip in zip(sl, xs, i_proj)
+            ]
+            outs_, ress = _tail_fwd_res_multi(pre1s, de_tail)
+            return outs_, (xs, ress)
 
-        def F_bwd(xres, gf, i_in=i_in):
-            """Accumulates DE weight grads; returns (g_x, g_i_in, g_s_de)."""
-            x, res = xres
-            gp1 = _tail_bwd(res, gf, de_tail, d_de_tail, cdtype)
-            d_wx_ref[:] += _dot_t(x, gp1, cdtype)
-            d_wi_ref[:] += _dot_t(i_in, gp1, cdtype)
-            return _dot(gp1, wx_de_ref[:].T), _dot(gp1, wi_de_ref[:].T), gp1
+        def F_bwd(xres, gfs, i_in=i_in):
+            """Accumulates DE weight grads; per-lane (g_x, g_i_in, g_s_de)."""
+            xs, ress = xres
+            gp1s = _tail_bwd_multi(ress, gfs, de_tail, d_de_tail, cdtype)
+            d_wx_ref[:] += sum(
+                _dot_t(x, gp1, cdtype) for x, gp1 in zip(xs, gp1s)
+            )
+            d_wi_ref[:] += sum(
+                _dot_t(iv, gp1, cdtype) for iv, gp1 in zip(i_in, gp1s)
+            )
+            return (
+                [_dot(gp1, wx_de_ref[:].T) for gp1 in gp1s],
+                [_dot(gp1, wi_de_ref[:].T) for gp1 in gp1s],
+                gp1s,
+            )
 
         if solver == "euler":
             _, res = F_fwd(x_step)
-            g_x, g_i_in, gp1 = F_bwd(res, dt * gX1)
-            g_x0 = gX1 + g_x
+            g_x, g_i_in, gp1 = F_bwd(res, [dt[l] * gX1[l] for l in range(L)])
+            g_x0 = [gX1[l] + g_x[l] for l in range(L)]
             gs_de = gp1
         elif solver == "midpoint":
             # x1 = x0 + dt * F(x_mid), x_mid = x0 + (dt/2) F(x0)
             f0, res0 = F_fwd(x_step)
-            x_mid = x_step + f0 * (0.5 * dt)
+            x_mid = [x_step[l] + f0[l] * (0.5 * dt[l]) for l in range(L)]
             _, res_m = F_fwd(x_mid)
-            g_xmid, gi_m, gp_m = F_bwd(res_m, dt * gX1)
-            g_f0 = (0.5 * dt) * g_xmid
-            g_x00, gi_0, gp_0 = F_bwd(res0, g_f0)
-            g_x0 = gX1 + g_xmid + g_x00
-            g_i_in = gi_m + gi_0
-            gs_de = gp_m + gp_0
+            g_xmid, gi_m, gp_m = F_bwd(
+                res_m, [dt[l] * gX1[l] for l in range(L)]
+            )
+            g_x00, gi_0, gp_0 = F_bwd(
+                res0, [(0.5 * dt[l]) * g_xmid[l] for l in range(L)]
+            )
+            g_x0 = [gX1[l] + g_xmid[l] + g_x00[l] for l in range(L)]
+            g_i_in = [gi_m[l] + gi_0[l] for l in range(L)]
+            gs_de = [gp_m[l] + gp_0[l] for l in range(L)]
         elif solver == "rk4":
             k1, res1 = F_fwd(x_step)
-            a2 = x_step + dt * k1 * _ONE_THIRD
+            a2 = [x_step[l] + dt[l] * k1[l] * _ONE_THIRD for l in range(L)]
             k2, res2 = F_fwd(a2)
-            a3 = x_step + dt * (k2 - k1 * _ONE_THIRD)
+            a3 = [
+                x_step[l] + dt[l] * (k2[l] - k1[l] * _ONE_THIRD)
+                for l in range(L)
+            ]
             k3, res3 = F_fwd(a3)
-            a4 = x_step + dt * (k1 - k2 + k3)
+            a4 = [x_step[l] + dt[l] * (k1[l] - k2[l] + k3[l]) for l in range(L)]
             _, res4 = F_fwd(a4)
 
-            G = gX1
-            c = dt * 0.125
-            g_k1 = G * c
-            g_k2 = 3.0 * G * c
-            g_k3 = 3.0 * G * c
-            g_k4 = G * c
-            g_x0 = G
-            g_i_in = jnp.zeros_like(i_in)
-            gs_de = jnp.zeros_like(s_de_ref[u])
+            c = [dt[l] * 0.125 for l in range(L)]
+            g_k1 = [gX1[l] * c[l] for l in range(L)]
+            g_k2 = [3.0 * gX1[l] * c[l] for l in range(L)]
+            g_k3 = [3.0 * gX1[l] * c[l] for l in range(L)]
+            g_k4 = [gX1[l] * c[l] for l in range(L)]
+            g_x0 = list(gX1)
+            g_i_in = [jnp.zeros_like(iv) for iv in i_in]
+            gs_de = [jnp.zeros_like(s_de_ref[u, s]) for s in sl]
 
             g_a4, gi4, gp14 = F_bwd(res4, g_k4)
-            g_x0 += g_a4
-            g_k1 += dt * g_a4
-            g_k2 -= dt * g_a4
-            g_k3 += dt * g_a4
-            g_i_in += gi4
-            gs_de += gp14
+            for l in range(L):
+                g_x0[l] += g_a4[l]
+                g_k1[l] += dt[l] * g_a4[l]
+                g_k2[l] -= dt[l] * g_a4[l]
+                g_k3[l] += dt[l] * g_a4[l]
+                g_i_in[l] += gi4[l]
+                gs_de[l] += gp14[l]
 
             g_a3, gi3, gp13 = F_bwd(res3, g_k3)
-            g_x0 += g_a3
-            g_k2 += dt * g_a3
-            g_k1 -= dt * g_a3 * _ONE_THIRD
-            g_i_in += gi3
-            gs_de += gp13
+            for l in range(L):
+                g_x0[l] += g_a3[l]
+                g_k2[l] += dt[l] * g_a3[l]
+                g_k1[l] -= dt[l] * g_a3[l] * _ONE_THIRD
+                g_i_in[l] += gi3[l]
+                gs_de[l] += gp13[l]
 
             g_a2, gi2, gp12 = F_bwd(res2, g_k2)
-            g_x0 += g_a2
-            g_k1 += dt * g_a2 * _ONE_THIRD
-            g_i_in += gi2
-            gs_de += gp12
+            for l in range(L):
+                g_x0[l] += g_a2[l]
+                g_k1[l] += dt[l] * g_a2[l] * _ONE_THIRD
+                g_i_in[l] += gi2[l]
+                gs_de[l] += gp12[l]
 
             g_x1_, gi1, gp11 = F_bwd(res1, g_k1)
-            g_x0 += g_x1_
-            g_i_in += gi1
-            gs_de += gp11
+            for l in range(L):
+                g_x0[l] += g_x1_[l]
+                g_i_in[l] += gi1[l]
+                gs_de[l] += gp11[l]
         else:  # pragma: no cover
             raise ValueError(solver)
 
-        gs_de_ref[u] = gs_de
+        for l, s in enumerate(sl):
+            gs_de_ref[u, s] = gs_de[l]
 
         # ---- route the i_in cotangent: event samples → AE_ev VJP, rest →
         # the i_t carry ----
         gs_ae_ev_ref[u] = jnp.zeros_like(gs_ae_ev_ref[u])
-        gi_c[:] = g_i_in
+        for l, s in enumerate(sl):
+            gi_c[s] = g_i_in[l]
 
         # under TF the solver's g_x0 targets the TRUE stream (emitted);
         # the rolled carry transports only the event-recompute contribution
         if tf_x:
-            g_xt_ref[u] = g_x0
-            g_x_carry = jnp.zeros_like(g_x0)
+            for l, s in enumerate(sl):
+                g_xt_ref[u, s] = g_x0[l]
+            g_x_carry = [jnp.zeros_like(g) for g in g_x0]
         else:
             g_x_carry = g_x0
 
         @pl.when(any_ev_ref[tblk * tb + u] == 1)
         def _(x0=x0, u=u, ev=ev, g_i_in=g_i_in, g_x_carry=g_x_carry):
-            g_ev_part = jnp.where(ev > 0.0, g_i_in, 0.0)
-            _, res_ev = ae_fwd(x0, s_ae_ev_ref[u])
-            g_x_ev, gp1_ev = ae_bwd(x0, res_ev, g_ev_part)
-            gs_ae_ev_ref[u] = gp1_ev
-            gx_c[:] = g_x_carry + g_x_ev  # event contribution in x carry
-            gi_c[:] = jnp.where(ev > 0.0, 0.0, g_i_in)
+            g_ev_part = [
+                jnp.where(ev[l] > 0.0, g_i_in[l], 0.0) for l in range(L)
+            ]
+            _, res_ev = ae_fwd_multi(x0, s_ae_ev_ref[u])
+            g_x_ev, gp1_ev = ae_bwd_multi(x0, res_ev, g_ev_part)
+            for l, s in enumerate(sl):
+                gs_ae_ev_ref[u, s] = gp1_ev[l]
+                gx_c[s] = g_x_carry[l] + g_x_ev[l]  # event contrib in x carry
+                gi_c[s] = jnp.where(ev[l] > 0.0, 0.0, g_i_in[l])
 
         @pl.when(any_ev_ref[tblk * tb + u] == 0)
         def _(g_x_carry=g_x_carry):
-            gx_c[:] = g_x_carry
+            for l, s in enumerate(sl):
+                gx_c[s] = g_x_carry[l]
 
     # boundary rows for the NEXT (earlier-time) reverse iteration
     cot_carry[:] = cot_ref[0]
     if not tf_x:
         sol_carry[:] = sol_ref[0]
 
-    @pl.when(s == n - 1)
+    @pl.when(sidx == n - 1)
     def _():
         g_x0_ref[:] = gx_c[:]
         g_i0_ref[:] = gi_c[:]
@@ -447,10 +549,12 @@ def _run_backward(
             pltpu.VMEM((bB, D), jnp.float32),  # cot reverse-carry
         ],
     )
+    from py_psnode_tpu.ops.fused_dae import BWD_LANES
+
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd,
-            tf_x=tf_x,
+            tf_x=tf_x, n_lanes=BWD_LANES,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

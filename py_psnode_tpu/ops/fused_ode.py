@@ -22,7 +22,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from py_psnode_tpu.ops.fused_dae import (
     _dot,
+    lane_slices,
     mlp_tail_fwd,
+    mlp_tail_fwd_multi,
     mlp_tail_layers,
     normalize_solver,
     pad_time as _pad_time,
@@ -96,11 +98,38 @@ def _step_fwd(f, x0, dt, solver):
     raise ValueError(solver)  # pragma: no cover
 
 
-def _fwd_kernel(*refs, solver: str, n_tail: int, tb: int):
+def _step_fwd_multi(f_multi, xs, dts, solver):
+    """Lane-interleaved :func:`_step_fwd` over lists of lane states."""
+    L = len(xs)
+    if solver == "euler":
+        fs = f_multi(xs)
+        return [xs[l] + dts[l] * fs[l] for l in range(L)]
+    if solver == "midpoint":
+        f0 = f_multi(xs)
+        fm = f_multi([xs[l] + f0[l] * (0.5 * dts[l]) for l in range(L)])
+        return [xs[l] + dts[l] * fm[l] for l in range(L)]
+    if solver == "rk4":
+        k1 = f_multi(xs)
+        k2 = f_multi([xs[l] + dts[l] * k1[l] * _ONE_THIRD for l in range(L)])
+        k3 = f_multi(
+            [xs[l] + dts[l] * (k2[l] - k1[l] * _ONE_THIRD) for l in range(L)]
+        )
+        k4 = f_multi([xs[l] + dts[l] * (k1[l] - k2[l] + k3[l]) for l in range(L)])
+        return [
+            xs[l]
+            + (k1[l] + 3.0 * (k2[l] + k3[l]) + k4[l]) * dts[l] * 0.125
+            for l in range(L)
+        ]
+    raise ValueError(solver)  # pragma: no cover
+
+
+def _fwd_kernel(*refs, solver: str, n_tail: int, tb: int, n_lanes: int = 1):
     """Forward kernel, TIME-BLOCKED: each grid iteration advances ``tb``
     solver steps from VMEM-resident state. The per-step matmuls here are
     tiny ([bB,h]@[h,h]), so a 1-step grid is dominated by grid/DMA
-    sequencing overhead — unrolling tb steps per iteration amortizes it."""
+    sequencing overhead — unrolling tb steps per iteration amortizes it.
+    ``n_lanes`` > 1 splits the batch block into independent sub-blocks
+    advanced in lockstep (see :func:`mlp_tail_fwd_multi`)."""
     s_de_ref, dt_ref, x0_ref = refs[:3]
     w = refs[3 : 3 + 1 + 2 * n_tail]
     wx_ref, tail = w[0], w[1:]
@@ -112,12 +141,32 @@ def _fwd_kernel(*refs, solver: str, n_tail: int, tb: int):
     def _():
         x_c[:] = x0_ref[:]
 
-    x = x_c[:]
+    if n_lanes == 1:
+        x = x_c[:]
+        for u in range(tb):
+            f = lambda xx: mlp_tail_fwd(s_de_ref[u] + _dot(xx, wx_ref[:]), tail)
+            x = _step_fwd(f, x, dt_ref[u], solver)
+            xsol_ref[u] = x
+        x_c[:] = x
+        return
+
+    bB = x_c.shape[0]
+    sub = bB // n_lanes
+    sl = [slice(l * sub, (l + 1) * sub) for l in range(n_lanes)]
+    xs = [x_c[s] for s in sl]
     for u in range(tb):
-        f = lambda xx: mlp_tail_fwd(s_de_ref[u] + _dot(xx, wx_ref[:]), tail)
-        x = _step_fwd(f, x, dt_ref[u], solver)
-        xsol_ref[u] = x
-    x_c[:] = x
+        s_u = s_de_ref[u]
+        dt_u = dt_ref[u]
+
+        def f_multi(xl, s_u=s_u):
+            pres = [s_u[s] + _dot(x, wx_ref[:]) for s, x in zip(sl, xl)]
+            return mlp_tail_fwd_multi(pres, tail)
+
+        xs = _step_fwd_multi(f_multi, xs, [dt_u[s] for s in sl], solver)
+        for s, x in zip(sl, xs):
+            xsol_ref[u, s] = x
+    for s, x in zip(sl, xs):
+        x_c[s] = x
 
 
 def _bwd_kernel(*refs, solver: str, n_tail: int, tb: int):
@@ -252,8 +301,13 @@ def _forward(s_de, weights, x0, dt, solver, interpret, precision="default"):
     tb, nT, pad = _time_blocking(Tm1, tb0)
     bB, nB, step, bspec, full = _specs(nT, B, h, reverse=False, tb=tb, bB=bB)
     wflat, n_tail = _flatten(weights)
+    from py_psnode_tpu.ops.fused_dae import FWD_LANES
+
+    n_lanes = FWD_LANES if bB % max(FWD_LANES, 1) == 0 else 1
     xs = pl.pallas_call(
-        functools.partial(_fwd_kernel, solver=solver, n_tail=n_tail, tb=tb),
+        functools.partial(
+            _fwd_kernel, solver=solver, n_tail=n_tail, tb=tb, n_lanes=n_lanes
+        ),
         grid=(nB, nT),
         in_specs=[step(h), step(1), bspec(xd)] + [full(wk.shape) for wk in wflat],
         out_specs=step(xd),
