@@ -68,6 +68,24 @@ def train_step_flops(variant_name, B, T, h, dims, solver):
         )
         dec = 2 * (_mlp_flops([(h, h), (h, xd)]) + _mlp_flops([(h, h), (h, idim)]))
         per_traj = T * (enc + dec)
+    elif variant_name in ("ode_channelwise", "dae_channelwise"):
+        # per-channel extractors (2× h->h each) + the vertical net applied
+        # at every h position ([B*h, .] matmuls — 4h^3/sample/eval dominant)
+        Cp = xd + zd
+        vert = 6 * Cp * h * h + 4 * h**3 + 2 * xd * h * h
+        per_step = _N_EVALS[solver] * (4 * xd * h * h + vert + 4 * xd * h * h)
+        codecs = T * (
+            2 * xd * (2 * h + 2 * h * h)  # x encode (1->h->h) + decode
+            + zd * (2 * h + 2 * h * h + 4 * h * h)  # z encode + zh_ext
+        )
+        per_traj = codecs
+        if variant_name == "dae_channelwise":
+            # decoupled algebraic readout over ALL T at once
+            vert_ae = 6 * (xd + vd) * h * h + 4 * h**3 + 2 * idim * h * h
+            per_traj += T * (
+                4 * xd * h * h + vd * (2 * h + 2 * h * h + 4 * h * h)
+                + vert_ae + 4 * idim * h * h + idim * (2 * h * h + 2 * h)
+            )
     else:
         return None
     fwd = B * ((T - 1) * per_step + per_traj)
@@ -314,6 +332,10 @@ def main():
         # context slowed the precompute/loss on this backend)
         ("9d. DAE no-encode (fused, bf16 kernels)", "dae_no_encode", 64, T, 128, "rk4", True, "bf16_kernels"),
         ("9e. Fleet IEEE-39 (fused, bf16 kernels)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True, "bf16_kernels"),
+        # channel-wise family (XLA scan; per-channel stacked-weight einsums
+        # + vertical nets — large per-step matmuls, no fused kernel)
+        ("10a. ODE channel-wise (XLA)", "ode_channelwise", 64, T, 128, "rk4", False),
+        ("10b. DAE channel-wise (XLA)", "dae_channelwise", 64, T, 128, "rk4", False),
     ]
     results = []
     for idx, cfg in enumerate(configs):

@@ -64,22 +64,23 @@ class ChannelWiseODEModel(nn.Module):
 
         xh0 = de.encode_x(xT[0])  # [B, xd, h]
         f_init = de.features_of(xh0, _tm(z)[0])  # [B, xd+zd, h]
-
-        def de_fn(tt, xh, zz):
-            return de(tt, f_init, xh, zz)
+        # z-features for ALL steps as one batched einsum — scan-invariant
+        # lifting (see ChannelWiseDEFunc.z_features); the solver stages then
+        # run only the xh-dependent nets per evaluation
+        fzT = de.z_features(zT_used[:-1])  # [T-1, B, zd, h]
 
         def body(xh_prev, inp):
-            t0, t1, z0 = inp
+            t0, t1, fz0 = inp
             dt = (t1 - t0)[..., None]  # [B, 1, 1] over [B, C, h]
-            f = lambda ttt, xx: de_fn(ttt, xx, z0)
+            f = lambda ttt, xx: de.dyn(f_init, xx, fz0)
             xh1 = xh_prev + stepper(f, t0, dt, t1, xh_prev)
             return xh1, xh1
 
         if self.is_initializing():
-            de_fn(tT[0], xh0, zT_used[0])
+            de(tT[0], f_init, xh0, zT_used[0])
             de.decode_x(xh0)
 
-        inputs = (tT[:-1], tT[1:], zT_used[:-1])
+        inputs = (tT[:-1], tT[1:], fzT)
         _, xhs = _scan(body, xh0, inputs, self.remat, self.unroll)
         xh_sol = jnp.concatenate([xh0[None], xhs], axis=0)  # [T, B, xd, h]
         x_pred = de.decode_x(xh_sol)  # [T, B, xd]
@@ -149,23 +150,22 @@ class ChannelWiseDAEModel(nn.Module):
 
         xh0 = de.encode_x(xT[0])  # [B, xd, h]
         f_init = de.features_of(xh0, _tm(z)[0])
-
-        def de_fn(tt, xh, zz):
-            return de(tt, f_init, xh, zz)
+        # scan-invariant lifting of the z-features (see the ODE model above)
+        fzT = de.z_features(zT_used[:-1])  # [T-1, B, zd, h]
 
         def body(xh_prev, inp):
-            t0, t1, z0 = inp
+            t0, t1, fz0 = inp
             dt = (t1 - t0)[..., None]
-            f = lambda ttt, xx: de_fn(ttt, xx, z0)
+            f = lambda ttt, xx: de.dyn(f_init, xx, fz0)
             xh1 = xh_prev + stepper(f, t0, dt, t1, xh_prev)
             return xh1, xh1
 
         if self.is_initializing():
-            de_fn(tT[0], xh0, zT_used[0])
+            de(tT[0], f_init, xh0, zT_used[0])
             de.decode_x(xh0)
             ae(xh0, vT[0])
 
-        inputs = (tT[:-1], tT[1:], zT_used[:-1])
+        inputs = (tT[:-1], tT[1:], fzT)
         _, xhs = _scan(body, xh0, inputs, self.remat, self.unroll)
         xh_sol = jnp.concatenate([xh0[None], xhs], axis=0)  # [T, B, xd, h]
         x_pred = de.decode_x(xh_sol)  # [T, B, xd]

@@ -171,19 +171,33 @@ class ChannelWiseDEFunc(nn.Module):
         """``[B, xd, h] -> [B, xd]``."""
         return self.x_decoder(xh)[..., 0]
 
+    def z_features(self, z):
+        """``[.., zd] -> [.., zd, h]`` input-channel features. Depends only
+        on the KNOWN ``z`` stream, so callers precompute it for ALL steps as
+        one batched einsum and keep it out of the solver loop (the scan-
+        invariant lifting the fused kernels use — ref my_solvers.py only
+        ever feeds recorded ``z``)."""
+        return self.zh_ext(self.z_encoder(z[..., None]))
+
     def features_of(self, xh, z):
         """Extract the stacked channel features ``[B, xd+zd, h]``."""
         fx = self.xh_ext(xh)
-        fz = self.zh_ext(self.z_encoder(z[..., None]))
-        return jnp.concatenate([fx, fz], axis=-2)
+        return jnp.concatenate([fx, self.z_features(z)], axis=-2)
 
-    def __call__(self, t0, f_init, xh, z):
-        ft = self.features_of(xh, z)
+    def dyn(self, f_init, xh, fz):
+        """Dynamics at precomputed z-features ``fz = z_features(z)`` — the
+        per-step hot path: only the ``xh``-dependent extractor runs in the
+        loop."""
+        fx = self.xh_ext(xh)
+        ft = jnp.concatenate([fx, fz], axis=-2)
         feat = jnp.concatenate([ft, f_init, ft - f_init], axis=-2)
         # vertical mix over the channel axis: [B, 3*(xd+zd), h] -> [B, xd, h]
         dot = self.xh_dot_v(jnp.swapaxes(feat, -1, -2))
         dot = jnp.swapaxes(dot, -1, -2)
         return self.xh_dot_head(dot)
+
+    def __call__(self, t0, f_init, xh, z):
+        return self.dyn(f_init, xh, self.z_features(z))
 
 
 class ChannelWiseAEFunc(nn.Module):
