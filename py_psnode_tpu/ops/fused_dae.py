@@ -260,8 +260,9 @@ BWD_LANES = int(_os.environ.get("PSNODE_BWD_LANES", "1"))
 
 
 # time steps per grid iteration — amortizes grid/DMA sequencing over the
-# tiny per-step matmuls (see fused_ode.TIME_BLOCK; same rationale)
-TIME_BLOCK = 8
+# tiny per-step matmuls (see fused_ode.TIME_BLOCK; same rationale);
+# env-overridable for tuning (kernel IR size grows linearly with it)
+TIME_BLOCK = int(_os.environ.get("PSNODE_TIME_BLOCK", "8"))
 
 
 def time_blocking(Tm1: int, tb: int = TIME_BLOCK):
