@@ -39,8 +39,6 @@ from py_psnode_tpu.ops.fused_dae import (
     _elu,
     flatten_weights,
     fused_dae_rollout,
-    mlp_tail_fwd,
-    pick_batch_block,
 )
 
 _ONE_THIRD = 1.0 / 3.0

@@ -13,7 +13,7 @@ through it. Semantics pinned to :func:`py_psnode_tpu.solvers.integrate_ode`
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from py_psnode_tpu.ops.fused_dae import (
     _dot,
-    lane_slices,
     mlp_tail_fwd,
     mlp_tail_fwd_multi,
     mlp_tail_layers,
