@@ -92,10 +92,22 @@ def build_parser() -> argparse.ArgumentParser:
 def enable_compile_cache(path="~/.cache/py_psnode_tpu/jax"):
     """Persistent XLA compilation cache — first compiles of the T~1000 scans
     take minutes through this machine's device tunnel; cached recompiles are
-    near-instant across runs."""
+    near-instant across runs.
+
+    The cache is NAMESPACED per backend (``.../jax/<tpu|...>``) and
+    DISABLED on the CPU backend: XLA CPU (jax 0.9.0 on this image)
+    hard-aborts (SIGABRT, no Python traceback) when it LOADS a
+    persistent-cached multi-device executable — compile-and-run is fine,
+    reload is fatal; reproduced deterministically with the 8-virtual-device
+    sharded train step. CPU compiles are seconds anyway — the cache exists
+    for the minutes-long TPU tunnel compiles. Call AFTER the platform is
+    selected."""
     import os
 
-    d = os.path.expanduser(path)
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return
+    d = os.path.join(os.path.expanduser(path), backend)
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
