@@ -322,6 +322,7 @@ def main():
         # serial chain costs the same per step while FLOPs quadruple)
         ("8a. DAE no-encode h=256 (fused)", "dae_no_encode", 64, T, 256, "rk4", True),
         ("8b. Fleet h=256 (fused)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True),
+        ("8c. DAE no-encode h=512 (fused)", "dae_no_encode", 64, T, 512, "rk4", True),
         # bf16 kernel compute mode (fused_dae.cast_compute): streams + 2-D
         # weights cast at the pallas boundary, f32 accumulation
         ("9a. DAE no-encode (fused, bf16)", "dae_no_encode", 64, T, 128, "rk4", True, "bfloat16"),
