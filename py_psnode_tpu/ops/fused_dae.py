@@ -249,10 +249,12 @@ def lane_slices(bB: int, n_lanes: int):
 # lanes the kernels interleave per batch block (env override for tuning;
 # bit-exact for any value — lanes only partition independent rows).
 # Forward default 2: measured 1.25x on the B=64 rollout (fills the MXU
-# drain + VPU gaps of the serial chain). Backward default 1: the shared
-# weight-gradient accumulators serialize the lanes' updates and the extra
-# IR measurably REGRESSES the train step (7.4M vs 8.1M tsteps/s at the
-# headline config) — left wired for future tuning.
+# drain + VPU gaps of the serial chain). Backward default 1: lanes
+# REGRESS the train step (7.4M vs 8.1M tsteps/s at the headline config)
+# with shared AND with fully independent per-lane weight-grad
+# accumulators alike — the DAE backward's AE/DE chains already provide
+# the ILP, so bwd lanes only add IR/VMEM overhead. Left wired (incl.
+# per-lane accumulator scratch) for other-shape tuning.
 import os as _os
 
 FWD_LANES = int(_os.environ.get("PSNODE_FWD_LANES", "2"))

@@ -114,30 +114,32 @@ def _tail_fwd_res_multi(h1pres, tail):
     return outs, [(press[l], hss[l]) for l in range(len(h1pres))]
 
 
-def _tail_bwd_multi(ress, gys, tail, d_tail, cdtype=jnp.float32):
-    """Lane-interleaved :func:`_tail_bwd`. Each weight-grad accumulator is
-    updated ONCE per layer with the sum of the per-lane partial dots — the
-    partial dots are independent across lanes (interleavable), only the
-    cheap [h,h] adds serialize on the accumulator refs."""
+def _tail_bwd_multi(ress, gys, tail, d_tail_lanes, cdtype=jnp.float32):
+    """Lane-interleaved :func:`_tail_bwd`. ``d_tail_lanes[l]`` is lane l's
+    OWN accumulator ref list (lane 0 = the output refs, lanes 1.. = VMEM
+    scratch summed into the outputs at the final grid iteration), so the
+    per-lane partial dots AND their accumulations are fully independent —
+    nothing serializes across lanes. With one lane this is exactly the
+    shared-accumulator form."""
     n_hidden = len(tail) // 2 - 1
     L = len(gys)
-    d_tail[-2][:] += sum(
-        _dot_t(ress[l][1][-1], gys[l], cdtype) for l in range(L)
-    )
-    d_tail[-1][:] += sum(
-        jnp.sum(gy, axis=0, keepdims=True) for gy in gys
-    )
+    for l in range(L):
+        d_tail_lanes[l][-2][:] += _dot_t(ress[l][1][-1], gys[l], cdtype)
+    for l in range(L):
+        d_tail_lanes[l][-1][:] += jnp.sum(gys[l], axis=0, keepdims=True)
     gs = [_dot(gy, tail[-2][:].T) for gy in gys]
     for k in range(n_hidden - 1, -1, -1):
         gpres = [
             gs[l] * _delu(ress[l][0][k + 1]) for l in range(L)
         ]
-        d_tail[2 * k][:] += sum(
-            _dot_t(ress[l][1][k], gpres[l], cdtype) for l in range(L)
-        )
-        d_tail[2 * k + 1][:] += sum(
-            jnp.sum(gp, axis=0, keepdims=True) for gp in gpres
-        )
+        for l in range(L):
+            d_tail_lanes[l][2 * k][:] += _dot_t(
+                ress[l][1][k], gpres[l], cdtype
+            )
+        for l in range(L):
+            d_tail_lanes[l][2 * k + 1][:] += jnp.sum(
+                gpres[l], axis=0, keepdims=True
+            )
         gs = [_dot(gp, tail[2 * k][:].T) for gp in gpres]
     return [gs[l] * _delu(ress[l][0][0]) for l in range(L)]
 
@@ -197,8 +199,11 @@ def _bwd_kernel(
         g_xt_ref, g_xt1_ref = outs[k2], outs[k2 + 1]
         k2 += 2
     g_x0_ref, g_i0_ref = outs[k2], outs[k2 + 1]
-    # scratch trail the outputs
-    gx_c, gi_c, i_in_buf, sol_carry, cot_carry = outs[k2 + 2 :]
+    # scratch trail the outputs; with n_lanes > 1 the tail is (L-1)*n_w
+    # per-lane weight-grad accumulator copies (see _tail_bwd_multi)
+    rest = outs[k2 + 2 :]
+    gx_c, gi_c, i_in_buf, sol_carry, cot_carry = rest[:5]
+    acc_extra = rest[5:]
 
     bidx = pl.program_id(0)
     sidx = pl.program_id(1)  # NB: lane loops below bind ``s`` for slices
@@ -217,6 +222,8 @@ def _bwd_kernel(
     def _():
         for r in gw:
             r[:] = jnp.zeros_like(r)
+        for r in acc_extra:
+            r[:] = jnp.zeros_like(r)
 
     tblk = n - 1 - sidx  # forward time-block index
 
@@ -229,6 +236,19 @@ def _bwd_kernel(
 
     sl = lane_slices(gx_c.shape[0], n_lanes)
     L = len(sl)
+    # per-lane accumulator ref lists: lane 0 owns the outputs, lanes 1..
+    # their scratch copies (summed into the outputs at the last iteration)
+    acc_lanes = [list(gw)] + [
+        list(acc_extra[(l - 1) * n_w : l * n_w]) for l in range(1, L)
+    ]
+    assert len(acc_lanes) == L or not acc_extra
+    if len(acc_lanes) < L:  # no scratch provisioned -> shared accumulators
+        acc_lanes = [list(gw)] * L
+    d_wx_l = [a[0] for a in acc_lanes]
+    d_wi_l = [a[1] for a in acc_lanes]
+    d_gx_l = [a[2] for a in acc_lanes]
+    d_de_tail_l = [a[3 : 3 + 2 * n_de] for a in acc_lanes]
+    d_ae_tail_l = [a[3 + 2 * n_de :] for a in acc_lanes]
 
     def ae_fwd_multi(xs, s_row):
         return _tail_fwd_res_multi(
@@ -238,10 +258,9 @@ def _bwd_kernel(
 
     def ae_bwd_multi(xs, ress, gys):
         """Accumulates AE weight grads; returns per-lane (g_x, g_s_row)."""
-        gp1s = _tail_bwd_multi(ress, gys, ae_tail, d_ae_tail, cdtype)
-        d_gx_ref[:] += sum(
-            _dot_t(x, gp1, cdtype) for x, gp1 in zip(xs, gp1s)
-        )
+        gp1s = _tail_bwd_multi(ress, gys, ae_tail, d_ae_tail_l, cdtype)
+        for l in range(L):
+            d_gx_l[l][:] += _dot_t(xs[l], gp1s[l], cdtype)
         return [_dot(gp1, gx_ae_ref[:].T) for gp1 in gp1s], gp1s
 
     for u in reversed(range(tb)):
@@ -309,13 +328,11 @@ def _bwd_kernel(
         def F_bwd(xres, gfs, i_in=i_in):
             """Accumulates DE weight grads; per-lane (g_x, g_i_in, g_s_de)."""
             xs, ress = xres
-            gp1s = _tail_bwd_multi(ress, gfs, de_tail, d_de_tail, cdtype)
-            d_wx_ref[:] += sum(
-                _dot_t(x, gp1, cdtype) for x, gp1 in zip(xs, gp1s)
-            )
-            d_wi_ref[:] += sum(
-                _dot_t(iv, gp1, cdtype) for iv, gp1 in zip(i_in, gp1s)
-            )
+            gp1s = _tail_bwd_multi(ress, gfs, de_tail, d_de_tail_l, cdtype)
+            for l in range(L):
+                d_wx_l[l][:] += _dot_t(xs[l], gp1s[l], cdtype)
+            for l in range(L):
+                d_wi_l[l][:] += _dot_t(i_in[l], gp1s[l], cdtype)
             return (
                 [_dot(gp1, wx_de_ref[:].T) for gp1 in gp1s],
                 [_dot(gp1, wi_de_ref[:].T) for gp1 in gp1s],
@@ -439,6 +456,15 @@ def _bwd_kernel(
         g_x0_ref[:] = gx_c[:]
         g_i0_ref[:] = gi_c[:]
 
+    if acc_extra:
+        # fold the per-lane scratch accumulators into the outputs once, at
+        # the very last grid iteration (b outer, s inner -> (nB-1, n-1))
+        @pl.when((sidx == n - 1) & (bidx == pl.num_programs(0) - 1))
+        def _():
+            for l in range(1, L):
+                for r0, rl in zip(gw, acc_lanes[l]):
+                    r0[:] += rl[:]
+
 
 def vjp_time_block(B, h, xd, tf_x):
     """Unified fwd/bwd time block so the padded stream/solution buffers are
@@ -534,6 +560,16 @@ def _run_backward(
         *tf_out_specs,
         bspec(xd), bspec(idim),
     )
+    from py_psnode_tpu.ops.fused_dae import BWD_LANES, lane_slices
+
+    # per-lane weight-grad accumulator scratch (see _tail_bwd_multi):
+    # only provisioned when the backward actually runs multi-lane
+    n_acc_lanes = len(lane_slices(bB, BWD_LANES))
+    acc_scratch = [
+        pltpu.VMEM(gshape(wk), jnp.float32)
+        for _ in range(n_acc_lanes - 1)
+        for wk in wflat
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nB, nT),
@@ -545,10 +581,9 @@ def _run_backward(
             pltpu.VMEM((bB, idim), jnp.float32),
             pltpu.VMEM((bB, D), jnp.float32),  # sol reverse-carry
             pltpu.VMEM((bB, D), jnp.float32),  # cot reverse-carry
+            *acc_scratch,
         ],
     )
-    from py_psnode_tpu.ops.fused_dae import BWD_LANES
-
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd,
