@@ -32,12 +32,31 @@ from py_psnode_tpu.data.schema import save_dae_samples, save_ode_samples
 OMEGA_B = 2.0 * np.pi * 50.0
 
 
+def _event_indices(rng, N, T, shared_events):
+    """Grid-aligned fault-on index and duration, varied per sample and scaled
+    to the horizon so short test trajectories still contain the disturbance.
+
+    ``shared_events=True`` draws ONE schedule for the whole file — the regime
+    the reference's event handling actually supports (it reads the schedule
+    from batch element 0 only, ``neural_base.py:54,190-191``), required for
+    apples-to-apples runs against the reference implementation.
+    """
+    n = 1 if shared_events else N
+    f_idx = rng.integers(max(T // 8, 1), max(T // 3, 2), n)
+    dur = rng.integers(max(T // 20, 1), max(T // 10, 2), n)
+    if shared_events:
+        f_idx = np.broadcast_to(f_idx, (N,)).copy()
+        dur = np.broadcast_to(dur, (N,)).copy()
+    return f_idx, dur
+
+
 def generate_avr_samples(
     n_samples: int,
     n_steps: int = 1001,
     dt: float = 0.01,
     seed: int = 0,
     substeps: int = 10,
+    shared_events: bool = False,
 ):
     """Vectorized RK4 simulation of a two-state AVR under a voltage dip.
 
@@ -57,10 +76,8 @@ def generate_avr_samples(
     v_fault = rng.uniform(0.3, 0.7, (N, 1))
     v_post = rng.uniform(0.92, 1.02, (N, 1))
 
-    # grid-aligned fault-on / clear times, varied per sample and scaled to
-    # the horizon so short test trajectories still contain the disturbance
-    f_idx = rng.integers(max(T // 8, 1), max(T // 3, 2), (N, 1))
-    dur = rng.integers(max(T // 20, 1), max(T // 10, 2), (N, 1))
+    f_idx, dur = _event_indices(rng, N, T, shared_events)
+    f_idx, dur = f_idx[:, None], dur[:, None]
     c_idx = np.minimum(f_idx + np.maximum(dur, 1), T - 2)
     t_f = f_idx * dt
     t_c = c_idx * dt
@@ -123,6 +140,7 @@ def generate_smib_dae_samples(
     seed: int = 0,
     substeps: int = 10,
     unstable_cut: float = 3.0 * np.pi,
+    shared_events: bool = False,
 ):
     """Vectorized RK4 simulation of a classical generator on a SMIB network.
 
@@ -149,8 +167,7 @@ def generate_smib_dae_samples(
     vinf_fault = rng.uniform(0.05, 0.5, N)
     vinf_post = rng.uniform(0.9, 1.0, N)
 
-    f_idx = rng.integers(max(T // 8, 1), max(T // 3, 2), N)
-    dur = rng.integers(max(T // 20, 1), max(T // 10, 2), N)
+    f_idx, dur = _event_indices(rng, N, T, shared_events)
     c_idx = np.minimum(f_idx + np.maximum(dur, 1), T - 2)
     t_f, t_c = f_idx * dt, c_idx * dt
 

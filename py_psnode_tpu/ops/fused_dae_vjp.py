@@ -152,6 +152,7 @@ def _bwd_kernel(
     tb: int,
     xd: int,
     tf_x: bool = False,
+    emit_true: bool = True,
     n_lanes: int = 1,
 ):
     n_de, n_ae = n_tails
@@ -195,7 +196,9 @@ def _bwd_kernel(
     d_ae_tail = gw[3 + 2 * n_de :]
     k2 = 3 + n_w
     g_xt_ref = g_xt1_ref = None
-    if tf_x:
+    if tf_x and emit_true:
+        # the no-encode TF-x path feeds RAW data whose cotangent is
+        # discarded — these outputs exist only for the encode family
         g_xt_ref, g_xt1_ref = outs[k2], outs[k2 + 1]
         k2 += 2
     g_x0_ref, g_i0_ref = outs[k2], outs[k2 + 1]
@@ -238,11 +241,11 @@ def _bwd_kernel(
     L = len(sl)
     # per-lane accumulator ref lists: lane 0 owns the outputs, lanes 1..
     # their scratch copies (summed into the outputs at the last iteration)
-    acc_lanes = [list(gw)] + [
-        list(acc_extra[(l - 1) * n_w : l * n_w]) for l in range(1, L)
-    ]
-    assert len(acc_lanes) == L or not acc_extra
-    if len(acc_lanes) < L:  # no scratch provisioned -> shared accumulators
+    if len(acc_extra) == (L - 1) * n_w:
+        acc_lanes = [list(gw)] + [
+            list(acc_extra[(l - 1) * n_w : l * n_w]) for l in range(1, L)
+        ]
+    else:  # scratch under-provisioned -> lanes share the output accumulators
         acc_lanes = [list(gw)] * L
     d_wx_l = [a[0] for a in acc_lanes]
     d_wi_l = [a[1] for a in acc_lanes]
@@ -311,8 +314,9 @@ def _bwd_kernel(
         for l, s in enumerate(sl):
             gs_ae_ref[u, s] = gp1_ae[l]
         if tf_x:  # the AE reads TRUE x[t+1] → cotangent to the true stream
-            for l, s in enumerate(sl):
-                g_xt1_ref[u, s] = g_x1_ae[l]
+            if emit_true:
+                for l, s in enumerate(sl):
+                    g_xt1_ref[u, s] = g_x1_ae[l]
         else:
             gX1 = [gX1[l] + g_x1_ae[l] for l in range(L)]
 
@@ -423,8 +427,9 @@ def _bwd_kernel(
         # under TF the solver's g_x0 targets the TRUE stream (emitted);
         # the rolled carry transports only the event-recompute contribution
         if tf_x:
-            for l, s in enumerate(sl):
-                g_xt_ref[u, s] = g_x0[l]
+            if emit_true:
+                for l, s in enumerate(sl):
+                    g_xt_ref[u, s] = g_x0[l]
             g_x_carry = [jnp.zeros_like(g) for g in g_x0]
         else:
             g_x_carry = g_x0
@@ -480,7 +485,7 @@ def vjp_time_block(B, h, xd, tf_x):
 
 def _run_backward(
     streams, weights, x0, i0, aux, any_ev, sol_prev, sol_last, cot, cot_last,
-    tb, Tm1, *, solver, interpret, x_true=None,
+    tb, Tm1, *, solver, interpret, x_true=None, emit_g_true=True,
 ):
     """Reverse-time kernel over PACKED buffers.
 
@@ -535,16 +540,19 @@ def _run_backward(
     gshape = lambda wk: wk.shape if wk.ndim == 2 else (1, wk.shape[0])
     # TF-x emits cotangents for the TRUE stream at both read points (step
     # eval + AE eval) — parameter gradients when teacher-forcing on
-    # x_encoder(x) (the direct-encode family)
+    # x_encoder(x) (the direct-encode family). The no-encode family feeds
+    # raw data whose cotangent is discarded, so it suppresses the two
+    # [Tpad,B,xd] outputs (emit_g_true=False) and skips their HBM traffic.
+    emit = tf_x and emit_g_true
     tf_out_shape = (
         (
             jax.ShapeDtypeStruct((Tpad, B, xd), jnp.float32),  # g_xt
             jax.ShapeDtypeStruct((Tpad, B, xd), jnp.float32),  # g_xt1
         )
-        if tf_x
+        if emit
         else ()
     )
-    tf_out_specs = (rev(xd), rev(xd)) if tf_x else ()
+    tf_out_specs = (rev(xd), rev(xd)) if emit else ()
     out_shape = (
         jax.ShapeDtypeStruct((Tpad, B, h), jnp.float32),  # g_s_de
         jax.ShapeDtypeStruct((Tpad, B, h), jnp.float32),  # g_s_ae
@@ -587,7 +595,7 @@ def _run_backward(
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd,
-            tf_x=tf_x, n_lanes=BWD_LANES,
+            tf_x=tf_x, emit_true=emit_g_true, n_lanes=BWD_LANES,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -609,6 +617,8 @@ def _run_backward(
     g_x0, g_i0 = outs[-2], outs[-1]
     g_streams = {"s_de": gs_de, "s_ae": gs_ae, "s_ae_ev": gs_ae_ev}
     if tf_x:
+        if not emit:
+            return g_streams, gw, g_x0, g_i0, None
         # combine the per-read-point cotangents onto the [T, B, xd] stream:
         # step j reads x_true[j] (g_xt) and x_true[j+1] (g_xt1)
         g_xt, g_xt1 = outs[-4][:Tm1], outs[-3][:Tm1]
@@ -660,7 +670,8 @@ def _vjp_forward(streams, weights, x0, i0, dt, ev, solver, interpret,
     return outs, res
 
 
-def _shared_bwd(solver, interpret, residuals, cotangents, tf=False):
+def _shared_bwd(solver, interpret, residuals, cotangents, tf=False,
+                emit_g_true=True):
     from py_psnode_tpu.ops.fused_dae import pad_time
 
     (padded, weights, x0, i0, dt, ev, aux, any_ev, sol_prev, sol_last,
@@ -678,9 +689,10 @@ def _shared_bwd(solver, interpret, residuals, cotangents, tf=False):
     out = _run_backward(
         padded, weights, x0, i0, aux, any_ev, sol_prev, sol_last, cot,
         cot_last, tb, Tm1, solver=solver, interpret=interpret, x_true=xt,
+        emit_g_true=emit_g_true,
     )
     if tf:
-        g_streams, gw, g_x0, g_i0, (g_xt, g_xt1) = out
+        g_streams, gw, g_x0, g_i0, g_true = out
     else:
         g_streams, gw, g_x0, g_i0 = out
     # the initial rows of the solutions are x0/i0 themselves
@@ -693,13 +705,19 @@ def _shared_bwd(solver, interpret, residuals, cotangents, tf=False):
 
         g_ev = _np.zeros(ev.shape, dtype=jax.dtypes.float0)
     if tf:
-        # combine the per-read-point cotangents onto the [T, B, xd] stream:
-        # step j reads x_true[j] (g_xt) and x_true[j+1] (g_xt1)
-        g_x_true = (
-            jnp.zeros((Tm1 + 1,) + g_xt.shape[1:], g_xt.dtype)
-            .at[:-1].add(g_xt)
-            .at[1:].add(g_xt1)
-        )
+        if g_true is None:  # suppressed: raw-data stream, cotangent unused
+            xd = x0.shape[-1]
+            B = x0.shape[0]
+            g_x_true = jnp.zeros((Tm1 + 1, B, xd), jnp.float32)
+        else:
+            # combine the per-read-point cotangents onto the [T, B, xd]
+            # stream: step j reads x_true[j] (g_xt), x_true[j+1] (g_xt1)
+            g_xt, g_xt1 = g_true
+            g_x_true = (
+                jnp.zeros((Tm1 + 1,) + g_xt.shape[1:], g_xt.dtype)
+                .at[:-1].add(g_xt)
+                .at[1:].add(g_xt1)
+            )
         return (g_streams, gw, g_x0, g_i0, g_x_true,
                 jnp.zeros_like(dt), g_ev)
     return (g_streams, gw, g_x0, g_i0, jnp.zeros_like(dt), g_ev)
@@ -735,16 +753,18 @@ def _bwd(solver, interpret, precision, residuals, cotangents):
 fused_dae_rollout_diff.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_dae_tf_x_rollout_diff(
     streams, weights, x0, i0, x_true, dt, ev, solver, interpret,
-    precision="default",
+    precision="default", emit_g_true=True,
 ):
     """Differentiable fused rollout under ``input_true_x`` teacher forcing
     (ref my_solvers.py:116-117,121): same contract as
     :func:`fused_dae_rollout_diff` plus the true-state stream ``x_true
     [T, B, xd]``, which receives its full cotangent — required when the
-    stream is ``x_encoder(x)`` (the direct-encode family)."""
+    stream is ``x_encoder(x)`` (the direct-encode family). The no-encode
+    family feeds raw data and passes ``emit_g_true=False`` to skip the two
+    [T,B,xd] cotangent outputs (zeros are returned for ``x_true``)."""
     return fused_dae_rollout(
         streams, weights, x0, i0, dt, ev,
         solver=solver, interpret=interpret, x_true=x_true,
@@ -753,15 +773,16 @@ def fused_dae_tf_x_rollout_diff(
 
 
 def _tf_fwd(streams, weights, x0, i0, x_true, dt, ev, solver, interpret,
-            precision="default"):
+            precision="default", emit_g_true=True):
     return _vjp_forward(
         streams, weights, x0, i0, dt, ev, solver, interpret, x_true=x_true,
         precision=precision,
     )
 
 
-def _tf_bwd(solver, interpret, precision, residuals, cotangents):
-    return _shared_bwd(solver, interpret, residuals, cotangents, tf=True)
+def _tf_bwd(solver, interpret, precision, emit_g_true, residuals, cotangents):
+    return _shared_bwd(solver, interpret, residuals, cotangents, tf=True,
+                       emit_g_true=emit_g_true)
 
 
 fused_dae_tf_x_rollout_diff.defvjp(_tf_fwd, _tf_bwd)

@@ -302,7 +302,8 @@ def _forward(s_de, weights, x0, dt, solver, interpret, precision="default"):
     wflat, n_tail = _flatten(weights)
     from py_psnode_tpu.ops.fused_dae import FWD_LANES
 
-    n_lanes = FWD_LANES if bB % max(FWD_LANES, 1) == 0 else 1
+    lanes = max(FWD_LANES, 1)  # 0/negative overrides must not reach the kernel
+    n_lanes = lanes if bB % lanes == 0 else 1
     xs = pl.pallas_call(
         functools.partial(
             _fwd_kernel, solver=solver, n_tail=n_tail, tb=tb, n_lanes=n_lanes

@@ -156,8 +156,11 @@ def fused_dae_tf_x_apply(
     solver = normalize_solver(solver)
     (p, ae, tT, xT, zT, vT, iT, z_used, v_used, ev, x0, all_initial, i0,
      streams, weights, dt) = _dae_tf_setup(params, batch, dims, hidden_dim, True)
+    # raw-data true stream: its cotangent is discarded, so the backward
+    # kernel skips emitting it (emit_g_true=False)
     x_sol, i_sol = fused_dae_tf_x_rollout_diff(
-        streams, weights, x0, i0, xT, dt, ev, solver, interpret, precision
+        streams, weights, x0, i0, xT, dt, ev, solver, interpret, precision,
+        False,
     )
     return _tm(x_sol), _tm(i_sol)
 

@@ -148,10 +148,6 @@ def self_test(num_processes: int = 2, devices_per_process: int = 4) -> None:
     import socket
     import subprocess
 
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     flags = [
@@ -165,19 +161,40 @@ def self_test(num_processes: int = 2, devices_per_process: int = 4) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = os.pathsep.join(p for p in (repo, env.get("PYTHONPATH", "")) if p)
 
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, "-m", "py_psnode_tpu.parallel.pod_smoke",
-                "--coordinator", f"localhost:{port}",
-                "--num_processes", str(num_processes),
-                "--process_id", str(i),
-            ],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    def spawn_round(port):
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "py_psnode_tpu.parallel.pod_smoke",
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", str(num_processes),
+                    "--process_id", str(i),
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(num_processes)
+        ]
+        return procs, [p.communicate(timeout=600) for p in procs]
+
+    # Probing a free port by bind-and-close is racy (it can be reclaimed
+    # before the coordinator binds it), so retry the whole round on a FRESH
+    # port when the failure is a coordinator-bind error.
+    for attempt in range(3):
+        with socket.socket() as s:  # candidate free port for the coordinator
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = spawn_round(port)
+        bind_race = any(
+            p.returncode != 0 and "address" in err.lower() and (
+                "in use" in err.lower() or "bind" in err.lower()
+            )
+            for p, (_, err) in zip(procs, outs)
         )
-        for i in range(num_processes)
-    ]
-    outs = [p.communicate(timeout=600) for p in procs]
+        if not bind_race:
+            break
+        print(f"pod_smoke: coordinator port {port} raced, retrying "
+              f"({attempt + 1}/3)", flush=True)
     losses = []
     for i, (p, (out, err)) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
