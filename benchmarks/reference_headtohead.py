@@ -254,7 +254,8 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
 # --------------------------------------------------------------- jax leg
 
 def run_ours(variant, train_npz, test_npz, out_dir, *, epochs, hidden, batch,
-             n_train, steps, seed, fused=True):
+             n_train, steps, seed, fused=True, precision="default",
+             init_style="lecun"):
     from py_psnode_tpu.train import TrainConfig, Trainer
 
     cfg = TrainConfig(
@@ -270,6 +271,8 @@ def run_ours(variant, train_npz, test_npz, out_dir, *, epochs, hidden, batch,
         solver="euler",          # the reference hardcodes Euler (script1:75)
         larger_than=None,
         fused=fused,
+        matmul_precision=precision,
+        init_style=init_style,
         seed=seed,
         echo_logs=False,
     )
@@ -309,7 +312,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no_fused", action="store_true",
                     help="run our leg on the XLA scan path instead of fused")
+    ap.add_argument("--precision", default="default",
+                    help="matmul_precision for our leg (default|highest|...)")
+    ap.add_argument("--init", default="lecun",
+                    help="init_style for our leg (lecun|torch)")
     ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--tag", default="", help="suffix for the output json")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -341,7 +349,8 @@ def main():
         args.variant, train_npz, test_npz, work / f"ours_{args.variant}",
         epochs=args.epochs, hidden=args.hidden, batch=args.batch,
         n_train=args.n_train, steps=args.steps, seed=args.seed,
-        fused=not args.no_fused,
+        fused=not args.no_fused, precision=args.precision,
+        init_style=args.init,
     )
     result["ours"] = {**meta_ours, "final": score(pred_ours, test_npz,
                                                   args.variant)}
@@ -359,7 +368,7 @@ def main():
         print(f"[h2h] torch done: {result['torch_reference']['final']}",
               flush=True)
 
-    out = REPO / "benchmarks" / f"headtohead_{args.variant}.json"
+    out = REPO / "benchmarks" / f"headtohead_{args.variant}{args.tag}.json"
     out.write_text(json.dumps(result, indent=2))
     print(f"[h2h] wrote {out}")
 

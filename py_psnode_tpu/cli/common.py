@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Teacher forcing (DAE only): feed the TRUE "
                              "lagged algebraic output to every step "
                              "(ref my_solvers.py:113,118).")
+    parser.add_argument("--robust_loss", action="store_true",
+                        help="Wrap the variant loss in the robust guard "
+                             "(ref utils.py:29-42): NaN losses take a "
+                             "zero-gradient step; losses above 1 are "
+                             "gradient-direction-normalized.")
     parser.add_argument("--larger_than", type=str, default="variant",
                         help='contain_larger_than/show_larger_than filter: a '
                              'float, "none", or "variant" (per-variant '
@@ -167,6 +172,7 @@ def main(variant: str, argv=None):
         input_true_x=args.input_true_x,
         input_true_i=args.input_true_i,
         larger_than=_parse_larger_than(args.larger_than),
+        robust_loss=args.robust_loss,
         progress=True,
     )
     trainer = Trainer(cfg)

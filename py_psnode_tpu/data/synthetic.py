@@ -256,6 +256,157 @@ def generate_smib_dae_samples(
     )
 
 
+def generate_motor_dae_samples(
+    n_samples: int,
+    n_steps: int = 1001,
+    dt: float = 0.01,
+    seed: int = 0,
+    substeps: int = 10,
+    stall_cut: float = 0.5,
+    shared_events: bool = False,
+):
+    """Vectorized RK4 simulation of a third-order induction-motor LOAD on a
+    stiff bus — the load-component class of the reference's domain
+    (generators, AVR/regulators, loads; ``/root/reference/README.md:6``),
+    complementing :func:`generate_avr_samples` (regulator ODE) and
+    :func:`generate_smib_dae_samples` (generator DAE).
+
+    Model (synchronous frame, stator resistance neglected, motor sign
+    convention — current ``I`` flows INTO the machine):
+
+      * slip:      ``ds/dt = (Tm(s) − Te) / (2H)``
+      * rotor EMF: ``dE'/dt = −j·s·ωs·E' − (E' − j(X−X')·I)/T0'``
+      * stator:    ``I = (V − E') / (jX')``,  line: ``V = Vinf − jXl·I``
+      * torque:    ``Te = Re(E'·conj(I))``  (airgap power ≈ torque in p.u.)
+      * load:      ``Tm(s) = Tm0·((1−s)/(1−s0))^γ`` (γ=0 constant-torque …
+        γ≈2 fan-type), with ``Tm0 = Te(s0)`` so ``s0`` is an equilibrium.
+
+    DAE sample roles: states ``x = [s, E'x, E'y]``, exogenous input
+    ``z = [Tm0]``, algebraic input ``v = [vx, vy]`` (motor bus voltage),
+    algebraic output ``i = [ix, iy]`` (stator current drawn). Disturbance:
+    the feeding-bus voltage dips at ``t_f`` and recovers at ``t_c``; the
+    motor decelerates during the dip and either re-accelerates or stalls —
+    stalled trajectories (slip beyond ``stall_cut``) are truncated with the
+    reference's ``-1`` time padding and zeroed mask.
+    """
+    rng = np.random.default_rng(seed)
+    N, T = n_samples, n_steps
+    t = np.arange(T) * dt
+    H = rng.uniform(0.4, 1.5, N)
+    t0p = rng.uniform(0.5, 1.5, N)  # rotor open-circuit time constant T0'
+    X = rng.uniform(2.5, 4.0, N)  # synchronous (stator + magnetizing)
+    Xp = rng.uniform(0.15, 0.30, N)  # transient reactance X'
+    xl = rng.uniform(0.04, 0.12, N)
+    s0 = rng.uniform(0.005, 0.025, N)
+    gamma = rng.uniform(0.0, 2.0, N)  # load torque exponent
+    vinf_pre = rng.uniform(0.98, 1.04, N)
+    vinf_fault = rng.uniform(0.4, 0.75, N)
+    vinf_post = rng.uniform(0.92, 1.02, N)
+
+    f_idx, dur = _event_indices(rng, N, T, shared_events)
+    # motors stall within a fraction of the generator-scale dip durations;
+    # halve them so the stall/recovery split stays informative
+    dur = np.maximum(dur // 2, 1)
+    c_idx = np.minimum(f_idx + np.maximum(dur, 1), T - 2)
+    t_f, t_c = f_idx * dt, c_idx * dt
+
+    def network(ep_c, vinf_):
+        ic = (vinf_ - ep_c) / (1j * (Xp + xl))
+        vc = vinf_ - 1j * xl * ic
+        te = (ep_c * np.conj(ic)).real
+        return ic, vc, te
+
+    # equilibrium at slip s0: (1 + j·s0·ωs·T0')·E' = b·(Vinf − E'),
+    # b = (X−X')/(X'+Xl)  →  E' = b·Vinf/(a + b); Tm0 = Te there
+    a = 1.0 + 1j * s0 * OMEGA_B * t0p
+    b = (X - Xp) / (Xp + xl)
+    ep = b * vinf_pre / (a + b)
+    slip = s0.copy()
+    _, _, tm0 = network(ep, vinf_pre)
+
+    x = np.zeros((N, T, 3))
+    v = np.zeros((N, T, 2))
+    i = np.zeros((N, T, 2))
+    h = dt / substeps
+
+    def vinf_at(j, right_continuous):
+        op = np.less if right_continuous else np.less_equal
+        return np.where(
+            op(j, f_idx), vinf_pre, np.where(op(j, c_idx), vinf_fault, vinf_post)
+        )
+
+    for j in range(T):
+        ic, vc, _ = network(ep, vinf_at(j, right_continuous=False))
+        x[:, j, 0], x[:, j, 1], x[:, j, 2] = slip, ep.real, ep.imag
+        v[:, j, 0], v[:, j, 1] = vc.real, vc.imag
+        i[:, j, 0], i[:, j, 1] = ic.real, ic.imag
+        if j == T - 1:
+            break
+        vinf_rc = vinf_at(j, right_continuous=True)
+        for _ in range(substeps):
+            def f(s_, ep_):
+                ic_, _, te_ = network(ep_, vinf_rc)
+                # clamp the load-torque base: past standstill (s >= 1) the
+                # fan-law base would go negative (NaN under fractional γ)
+                tm = tm0 * (np.maximum(1.0 - s_, 0.0) / (1.0 - s0)) ** gamma
+                ds = (tm - te_) / (2.0 * H)
+                dep = (
+                    -1j * s_ * OMEGA_B * ep_
+                    - (ep_ - 1j * (X - Xp) * ic_) / t0p
+                )
+                return ds, dep
+            k1 = f(slip, ep)
+            k2 = f(slip + 0.5 * h * k1[0], ep + 0.5 * h * k1[1])
+            k3 = f(slip + 0.5 * h * k2[0], ep + 0.5 * h * k2[1])
+            k4 = f(slip + h * k3[0], ep + h * k3[1])
+            slip = slip + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            # a stalled rotor stops at standstill — it cannot reverse
+            slip = np.minimum(slip, 1.0)
+            ep = ep + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+
+    tt = np.broadcast_to(t[None, :], (N, T)).copy()
+    mask = np.ones((N, T, 1))
+    # truncate stalled motors: -1 padding + zero mask from first excursion
+    over = np.abs(x[:, :, 0]) > stall_cut
+    for n in np.nonzero(over.any(axis=1))[0]:
+        j0 = int(np.argmax(over[n]))
+        tt[n, j0:] = -1.0
+        mask[n, j0:] = 0.0
+
+    event_t = np.stack([t_f, t_c], axis=1)
+    z = np.broadcast_to(tm0[:, None, None], (N, T, 1)).copy()
+    z_jump = np.broadcast_to(tm0[:, None, None], (N, 2, 1)).copy()
+    # post-jump motor-bus voltage at each event time (state at the event,
+    # post-event feeding voltage)
+    v_jump = np.zeros((N, 2, 2))
+    for e, idx in enumerate((f_idx, c_idx)):
+        ep_at = (
+            x[np.arange(N), np.minimum(idx, T - 1), 1]
+            + 1j * x[np.arange(N), np.minimum(idx, T - 1), 2]
+        )
+        vinf_e = vinf_fault if e == 0 else vinf_post
+        _, vc, _ = network(ep_at, vinf_e)
+        v_jump[:, e, 0], v_jump[:, e, 1] = vc.real, vc.imag
+    return dict(
+        t=tt[:, :, None],
+        x=x,
+        z=z,
+        v=v,
+        i=i,
+        event_t=event_t,
+        z_jump=z_jump,
+        v_jump=v_jump,
+        mask=mask,
+        name=[
+            ("slip", "p.u."),
+            ("Epx", "p.u."),
+            ("Epy", "p.u."),
+            ("ix", "p.u."),
+            ("iy", "p.u."),
+        ],
+    )
+
+
 def write_avr_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
     """Write ``training.npz`` / ``testing.npz`` AVR (ODE) sample files."""
     import pathlib
@@ -276,5 +427,18 @@ def write_smib_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
     d.mkdir(parents=True, exist_ok=True)
     for name, n, s in (("training", n_train, seed), ("testing", n_test, seed + 1)):
         data = generate_smib_dae_samples(n, n_steps=n_steps, seed=s)
+        save_dae_samples(d / f"{name}.npz", **data)
+    return d / "training.npz", d / "testing.npz"
+
+
+def write_motor_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
+    """Write ``training.npz`` / ``testing.npz`` induction-motor load (DAE)
+    sample files."""
+    import pathlib
+
+    d = pathlib.Path(dir_path)
+    d.mkdir(parents=True, exist_ok=True)
+    for name, n, s in (("training", n_train, seed), ("testing", n_test, seed + 1)):
+        data = generate_motor_dae_samples(n, n_steps=n_steps, seed=s)
         save_dae_samples(d / f"{name}.npz", **data)
     return d / "training.npz", d / "testing.npz"

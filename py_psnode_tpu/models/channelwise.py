@@ -40,6 +40,7 @@ class ChannelWiseODEModel(nn.Module):
     solver: str = "euler"
     remat: object = True
     unroll: int = 1
+    channel_impl: str = "einsum"  # per-channel matmul form (PerChannelMLP.impl)
 
     @nn.compact
     def __call__(
@@ -52,7 +53,7 @@ class ChannelWiseODEModel(nn.Module):
     ):
         de = ChannelWiseDEFunc(
             x_dim=self.x_dim, z_dim=self.z_dim, hidden_dim=self.hidden_dim,
-            name="de_func",
+            impl=self.channel_impl, name="de_func",
         )
         stepper = get_stepper(self.solver)
 
@@ -119,6 +120,7 @@ class ChannelWiseDAEModel(nn.Module):
     solver: str = "euler"
     remat: object = True
     unroll: int = 1
+    channel_impl: str = "einsum"  # per-channel matmul form (PerChannelMLP.impl)
 
     @nn.compact
     def __call__(
@@ -134,11 +136,12 @@ class ChannelWiseDAEModel(nn.Module):
     ):
         de = ChannelWiseDEFunc(
             x_dim=self.x_dim, z_dim=self.z_dim, hidden_dim=self.hidden_dim,
-            name="de_func",
+            impl=self.channel_impl, name="de_func",
         )
         ae = ChannelWiseAEFunc(
             x_dim=self.x_dim, v_dim=self.v_dim, i_dim=self.i_dim,
-            hidden_dim=self.hidden_dim, name="ae_func",
+            hidden_dim=self.hidden_dim, impl=self.channel_impl,
+            name="ae_func",
         )
         stepper = get_stepper(self.solver)
 

@@ -110,27 +110,52 @@ class PerChannelMLP(nn.Module):
     """``n_channels`` independent MLPs applied to ``[..., C, d_in]`` slices.
 
     Equivalent to the reference's ``nn.ModuleList`` of per-dimension nets
-    (neural_base.py:71-90) but evaluated as stacked weights with one einsum
-    per layer.
+    (neural_base.py:71-90) but evaluated as stacked weights.
+
+    ``impl`` picks the evaluation form (identical math either way — the
+    off-block weights are exact zeros):
+
+      * ``"einsum"``: one grouped einsum per layer — minimal FLOPs, but the
+        TPU runs the C groups as a serial batched matmul (latency-bound at
+        small batch).
+      * ``"blockdiag"``: channels flattened into ONE wide ``[.., C·d] @
+        [C·d, C·f]`` block-diagonal matmul per layer — C× the FLOPs but a
+        single full-width MXU op; wins in the latency-bound regime (small
+        B), loses in the compute-bound regime (fleet batches). Only applied
+        to h-wide layers (d_in ≥ 8); 1-wide codec layers keep the einsum.
     """
 
     n_channels: int
     features: Tuple[int, ...]
     d_in: int
     final_activation: Optional[str] = None  # None | 'tanh'
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
         # x: [..., C, d_in]
+        C = self.n_channels
         d_prev = self.d_in
         for li, f in enumerate(self.features):
             w = self.param(
                 f"w_{li}",
                 nn.initializers.lecun_normal(),
-                (self.n_channels, d_prev, f),
+                (C, d_prev, f),
             )
-            b = self.param(f"b_{li}", nn.initializers.zeros, (self.n_channels, f))
-            x = jnp.einsum("...ci,cio->...co", x, w) + b
+            b = self.param(f"b_{li}", nn.initializers.zeros, (C, f))
+            if self.impl == "blockdiag" and d_prev >= 8 and C > 1:
+                # [C, d, f] -> [C·d, C·f] with w[c] at block (c, c); the
+                # construction is parameter-only, so XLA's loop-invariant
+                # code motion hoists it out of the solver scan
+                eye = jnp.eye(C, dtype=w.dtype)
+                wbd = (eye[:, None, :, None] * w[:, :, None, :]).reshape(
+                    C * d_prev, C * f
+                )
+                xf = x.reshape(x.shape[:-2] + (C * d_prev,))
+                y = xf @ wbd + b.reshape(C * f)
+                x = y.reshape(y.shape[:-1] + (C, f))
+            else:
+                x = jnp.einsum("...ci,cio->...co", x, w) + b
             if li < len(self.features) - 1:
                 x = nn.elu(x)
             d_prev = f
@@ -151,15 +176,17 @@ class ChannelWiseDEFunc(nn.Module):
     x_dim: int
     z_dim: int
     hidden_dim: int
+    impl: str = "einsum"  # per-channel matmul form (see PerChannelMLP.impl)
 
     def setup(self):
         h = self.hidden_dim
+        im = self.impl
         self.x_encoder = PerChannelMLP(self.x_dim, (h, h), 1, name="x_encoder")
         self.x_decoder = PerChannelMLP(self.x_dim, (h, 1), h, name="x_decoder")
-        self.xh_ext = PerChannelMLP(self.x_dim, (h, h), h, name="xh_ext")
-        self.xh_dot_head = PerChannelMLP(self.x_dim, (h, h), h, name="xh_dot_head")
+        self.xh_ext = PerChannelMLP(self.x_dim, (h, h), h, impl=im, name="xh_ext")
+        self.xh_dot_head = PerChannelMLP(self.x_dim, (h, h), h, impl=im, name="xh_dot_head")
         self.z_encoder = PerChannelMLP(self.z_dim, (h, h), 1, name="z_encoder")
-        self.zh_ext = PerChannelMLP(self.z_dim, (h, h), h, name="zh_ext")
+        self.zh_ext = PerChannelMLP(self.z_dim, (h, h), h, impl=im, name="zh_ext")
         # vertical net over the channel axis (ref neural_base.py:91-94)
         self.xh_dot_v = MLP((h, h, h, self.x_dim), name="xh_dot_v")
 
@@ -207,14 +234,16 @@ class ChannelWiseAEFunc(nn.Module):
     v_dim: int
     i_dim: int
     hidden_dim: int
+    impl: str = "einsum"  # per-channel matmul form (see PerChannelMLP.impl)
 
     def setup(self):
         h = self.hidden_dim
-        self.xh_ext = PerChannelMLP(self.x_dim, (h, h), h, name="xh_ext")
+        im = self.impl
+        self.xh_ext = PerChannelMLP(self.x_dim, (h, h), h, impl=im, name="xh_ext")
         self.v_encoder = PerChannelMLP(self.v_dim, (h, h), 1, name="v_encoder")
-        self.vh_ext = PerChannelMLP(self.v_dim, (h, h), h, name="vh_ext")
+        self.vh_ext = PerChannelMLP(self.v_dim, (h, h), h, impl=im, name="vh_ext")
         self.yh_func_v = MLP((h, h, h, self.i_dim), name="yh_func_v")
-        self.yh_ext = PerChannelMLP(self.i_dim, (h, h), h, name="yh_ext")
+        self.yh_ext = PerChannelMLP(self.i_dim, (h, h), h, impl=im, name="yh_ext")
         self.y_decoder = PerChannelMLP(self.i_dim, (h, 1), h, name="y_decoder")
 
     def __call__(self, xh, v):

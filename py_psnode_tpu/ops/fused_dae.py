@@ -57,7 +57,9 @@ def normalize_solver(name) -> str:
 def pick_batch_block(B: int, block_b: int = 128, hidden: int = 128) -> int:
     """Largest divisor of B that is <= block_b, scaled down for wide hidden
     layers so per-block VMEM (streams + activations ~ O(bB*h)) stays bounded
-    around the h=128 reference point."""
+    around the h=128 reference point. (Legacy policy — the kernels now size
+    blocks via :func:`choose_blocks`' VMEM-first rule, which keeps batch
+    blocks MXU-height instead of shrinking them with width.)"""
     cap = max(8, block_b * 128 // max(hidden, 128))
     bB = min(cap, B)
     while B % bB:
@@ -98,8 +100,16 @@ def choose_blocks(
     if state_dim >= 128:
         cap = min(cap, 64)
     h = max(hidden, 128)
-    bB = pick_batch_block(B, cap, hidden)
     unit = n_streams * h * 4 * 2  # bytes per (batch row × time step)
+    # Prefer FULL-HEIGHT MXU batch blocks: the largest divisor of B <= cap
+    # whose single-step streams still fit the VMEM budget, absorbing wide-h
+    # pressure in the TIME block instead. (The round-2 policy shrank bB by
+    # 128/h, leaving the 128-row systolic array 2-4x under-filled at
+    # h >= 256: h=512 ran 32-row matmuls. Validated on-chip at h=256/512,
+    # fwd and bwd — see ACCURACY.md round-3 kernel notes.)
+    bB = min(cap, B)
+    while B % bB or unit * bB > VMEM_STREAM_BUDGET:
+        bB -= 1
     tb = int(max(1, min(tb_max, VMEM_STREAM_BUDGET // (unit * bB))))
     return bB, tb
 
@@ -263,13 +273,45 @@ BWD_LANES = int(_os.environ.get("PSNODE_BWD_LANES", "1"))
 
 # time steps per grid iteration — amortizes grid/DMA sequencing over the
 # tiny per-step matmuls (see fused_ode.TIME_BLOCK; same rationale);
-# env-overridable for tuning (kernel IR size grows linearly with it)
+# kernel IR size grows linearly with it
 TIME_BLOCK = int(_os.environ.get("PSNODE_TIME_BLOCK", "8"))
 
 
-def time_blocking(Tm1: int, tb: int = TIME_BLOCK):
+def set_kernel_tuning(fwd_lanes=None, bwd_lanes=None, time_block=None):
+    """Set the kernel scheduling knobs process-wide (None keeps the current
+    value). The first-class entry points are ``TrainConfig.fwd_lanes /
+    bwd_lanes / time_block`` and the bench-config fields — the
+    ``PSNODE_*`` env vars remain as import-time defaults only. Every knob
+    is numerics-safe: lanes partition independent batch rows (bit-exact)
+    and the time block only regroups grid iterations.
+
+    Returns the effective ``{"fwd_lanes", "bwd_lanes", "time_block"}`` so
+    callers (bench harnesses) can record what a run actually used.
+    """
+    global FWD_LANES, BWD_LANES, TIME_BLOCK
+    if fwd_lanes is not None:
+        FWD_LANES = max(1, int(fwd_lanes))
+    if bwd_lanes is not None:
+        BWD_LANES = max(1, int(bwd_lanes))
+    if time_block is not None:
+        TIME_BLOCK = max(1, int(time_block))
+    return kernel_tuning()
+
+
+def kernel_tuning():
+    """The effective kernel scheduling knobs (for run records)."""
+    return {
+        "fwd_lanes": FWD_LANES,
+        "bwd_lanes": BWD_LANES,
+        "time_block": TIME_BLOCK,
+    }
+
+
+def time_blocking(Tm1: int, tb=None):
     """``(tb, n_blocks, pad)`` for a T-1-step loop; padded steps carry
     ``dt == 0`` (state pass-through) and are sliced off on return."""
+    if tb is None:
+        tb = TIME_BLOCK
     tb = max(1, min(tb, Tm1))
     nT = -(-Tm1 // tb)
     return tb, nT, nT * tb - Tm1

@@ -86,6 +86,25 @@ class TrainConfig:
     matmul_precision: str = "default"
     # skip optimizer steps whose grads contain NaN/Inf (optax.apply_if_finite)
     skip_nonfinite: bool = False
+    # opt-in robust-loss guard wrapping the variant loss (the reference
+    # instantiates Losses.multi_time_series_loss but never calls it, ref
+    # utils.py:29-42 / script3:375): NaN → zero-gradient zero loss; a loss
+    # above 1 is replaced by its gradient-direction-preserving normalization
+    # loss/stop_grad(loss) (with robust_limit set, only once the loss
+    # exceeds it). Trips are logged per record window as robust_tripped.
+    robust_loss: bool = False
+    robust_limit: Optional[float] = None
+    # fused-kernel scheduling knobs (None = keep module defaults; see
+    # ops/fused_dae.set_kernel_tuning). All numerics-safe: lanes partition
+    # independent batch rows (bit-exact), time_block regroups grid
+    # iterations. Recorded per-entry by the bench suite.
+    fwd_lanes: Optional[int] = None
+    bwd_lanes: Optional[int] = None
+    time_block: Optional[int] = None
+    # "lecun" (flax default) | "torch" (re-draw params as torch.nn.Linear's
+    # kaiming_uniform kernels + U(±1/√fan_in) biases — accuracy-parity
+    # studies vs the reference; see models/initializers.py)
+    init_style: str = "lecun"
     # structured metrics (train_metrics.jsonl) alongside the text logs
     jsonl_metrics: bool = True
     # route the DAE no-encode forward through the fused Pallas kernel pair
@@ -137,6 +156,10 @@ class Trainer:
                 "teacher forcing and multi-shooting are mutually exclusive "
                 "(multi-shooting IS windowed teacher forcing)"
             )
+        if (cfg.fwd_lanes, cfg.bwd_lanes, cfg.time_block) != (None,) * 3:
+            from py_psnode_tpu.ops.fused_dae import set_kernel_tuning
+
+            set_kernel_tuning(cfg.fwd_lanes, cfg.bwd_lanes, cfg.time_block)
         self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
         self.larger_than = (
             self.variant.larger_than if cfg.larger_than == "variant" else cfg.larger_than
@@ -171,6 +194,16 @@ class Trainer:
         batch = pad_batch(next(ds.batches(min(2, len(ds)))), 1)
         args = tuple(jnp.asarray(batch[k]) for k in self.variant.batch_args)
         params = model.init(jax.random.PRNGKey(cfg.seed), *args)
+        if cfg.init_style == "torch":
+            from py_psnode_tpu.models.initializers import torch_style_init
+
+            params = torch_style_init(
+                params, jax.random.PRNGKey(cfg.seed + 1)
+            )
+        elif cfg.init_style != "lecun":
+            raise ValueError(
+                f'init_style must be "lecun" or "torch", got {cfg.init_style!r}'
+            )
         return model, params, dims
 
     # ------------------------------------------------------------ train step
@@ -378,6 +411,18 @@ class Trainer:
                 with jax.default_matmul_precision(precision) if precision != "default" else _nullcontext():
                     out = forward(params, batch)
                 return variant.loss_fn(out, batch)
+
+        if cfg.robust_loss:
+            from py_psnode_tpu.train.losses import robust_time_series_loss
+
+            base_loss_of = loss_of
+
+            def loss_of(params, batch):
+                loss, aux = base_loss_of(params, batch)
+                rloss, nan = robust_time_series_loss(loss, cfg.robust_limit)
+                tripped = jnp.logical_or(nan, rloss != loss)
+                aux = dict(aux, robust_tripped=tripped.astype(jnp.float32))
+                return rloss, aux
 
         def step(params, opt_state, batch):
             (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -654,7 +699,11 @@ class Trainer:
 
         train_error_list, eval_error_list = [], []
         nrec = cfg.loss_record_iter
-        records = {k: np.zeros(nrec) for k in variant.loss_keys}
+        # robust_tripped rides the same batched device fetch as the losses
+        log_keys = variant.loss_keys + (
+            ("robust_tripped",) if cfg.robust_loss else ()
+        )
+        records = {k: np.zeros(nrec) for k in log_keys}
         grad_record = np.zeros(nrec)
 
         logger.testing_log("=" * 86)
@@ -706,19 +755,19 @@ class Trainer:
                 pending.append((i_batch, aux, gnorm))
                 if (i_batch + 1) % nrec == 0:
                     flat = jnp.stack(
-                        [a[k] for _, a, _ in pending for k in variant.loss_keys]
+                        [a[k] for _, a, _ in pending for k in log_keys]
                         + [g for _, _, g in pending]
                     )
                     vals = np.asarray(flat)
-                    nk = len(variant.loss_keys)
+                    nk = len(log_keys)
                     for row, (j, _, _) in enumerate(pending):
-                        for ki, k in enumerate(variant.loss_keys):
+                        for ki, k in enumerate(log_keys):
                             records[k][j % nrec] = vals[row * nk + ki]
                         grad_record[j % nrec] = vals[len(pending) * nk + row]
                     pending = []
-                    means = {k: records[k].mean() for k in variant.loss_keys}
+                    means = {k: records[k].mean() for k in log_keys}
                     parts = ", ".join(
-                        f"{k}: {means[k]:14.10f}" for k in variant.loss_keys
+                        f"{k}: {means[k]:14.10f}" for k in log_keys
                     )
                     logger.training_log(
                         f"Training epoch {epoch}: Batch{i_batch + 1 - nrec:4} "

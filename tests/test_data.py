@@ -8,6 +8,7 @@ from py_psnode_tpu.data import (
     DaeSamples,
     OdeSamples,
     generate_avr_samples,
+    generate_motor_dae_samples,
     generate_smib_dae_samples,
     save_dae_samples,
     save_ode_samples,
@@ -105,3 +106,42 @@ def test_smib_physics_and_truncation():
         j0 = np.argmax(t[n, :, 0] == -1.0)
         assert (mask[n, j0:] == 0).all()
         assert (mask[n, :j0] == 1).all()
+
+
+def test_motor_physics_and_truncation():
+    """Induction-motor load family (VERDICT r2 item 4 — the third component
+    class of the reference's domain, /root/reference/README.md:6)."""
+    data = generate_motor_dae_samples(32, n_steps=301, seed=1)
+    x, v, i, t, mask = data["x"], data["v"], data["i"], data["t"], data["mask"]
+    assert x.shape[-1] == 3 and v.shape[-1] == 2 and i.shape[-1] == 2
+    # pre-fault: the closed-form equilibrium holds EXACTLY (slip + EMF)
+    np.testing.assert_allclose(x[:, 20, :], x[:, 0, :], atol=1e-9)
+    # motoring: airgap power into the rotor is positive at t=0
+    te0 = x[:, 0, 1] * i[:, 0, 0] + x[:, 0, 2] * i[:, 0, 1]
+    assert (te0 > 0).all()
+    # the dip decelerates every motor: slip rises above its equilibrium
+    assert (x[:, :, 0].max(axis=1) > x[:, 0, 0] + 1e-4).all()
+    # everything finite (stalled rotors clamp at standstill, no NaN)
+    assert all(np.isfinite(a).all() for a in (x, v, i))
+    # both outcomes present at this seed: stalls (truncated with -1/mask)
+    # and recoveries
+    trunc = t[:, -1, 0] == -1.0
+    assert trunc.any() and (~trunc).any()
+    n = np.nonzero(trunc)[0][0]
+    j0 = np.argmax(t[n, :, 0] == -1.0)
+    assert (mask[n, j0:] == 0).all() and (mask[n, :j0] == 1).all()
+    # shared_events: one schedule for the whole file
+    sh = generate_motor_dae_samples(8, n_steps=101, seed=2, shared_events=True)
+    assert (sh["event_t"] == sh["event_t"][0:1]).all()
+
+
+def test_motor_dataset_loads_as_dae_samples(tmp_path):
+    from py_psnode_tpu.data import write_motor_dataset
+
+    train_f, test_f = write_motor_dataset(
+        tmp_path, n_train=8, n_test=4, n_steps=41, seed=0
+    )
+    ds = DaeSamples.load(train_f)
+    assert ds.x.shape == (8, 41, 3)
+    assert ds.i.shape == (8, 41, 2)
+    assert len(ds.data_name) == 5  # x channels + i channels

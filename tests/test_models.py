@@ -218,3 +218,90 @@ def test_channelwise_dae_model(rng):
         + jnp.sum(m.apply(p, *args)[1] ** 2)
     )(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_channelwise_blockdiag_impl_equivalence():
+    """PerChannelMLP impl="blockdiag" (one wide block-diagonal matmul) is
+    numerically the grouped einsum — off-block weights are exact zeros."""
+    import numpy as np
+
+    from py_psnode_tpu.models.channelwise import (
+        ChannelWiseDAEModel,
+        ChannelWiseODEModel,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T = 4, 9
+    batch = {
+        "t": (np.cumsum(np.full((B, T, 1), 0.01), 1) - 0.01).astype(np.float32),
+        "x": rng.normal(size=(B, T, 2)).astype(np.float32),
+        "z": rng.normal(size=(B, T, 1)).astype(np.float32),
+        "event_t": np.full((B, 2), -1.0, np.float32),
+        "z_jump": rng.normal(size=(B, 2, 1)).astype(np.float32),
+        "v": rng.normal(size=(B, T, 2)).astype(np.float32),
+        "i": rng.normal(size=(B, T, 2)).astype(np.float32),
+        "v_jump": rng.normal(size=(B, 2, 2)).astype(np.float32),
+    }
+    oargs = tuple(jnp.asarray(batch[k]) for k in ("t", "x", "z", "event_t", "z_jump"))
+    m1 = ChannelWiseODEModel(x_dim=2, z_dim=1, hidden_dim=16)
+    m2 = ChannelWiseODEModel(x_dim=2, z_dim=1, hidden_dim=16,
+                             channel_impl="blockdiag")
+    p = m1.init(jax.random.PRNGKey(0), *oargs)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m1.apply(p, *oargs)),
+        jax.tree_util.tree_leaves(m2.apply(p, *oargs)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+    dargs = tuple(jnp.asarray(batch[k]) for k in
+                  ("t", "x", "z", "v", "i", "event_t", "z_jump", "v_jump"))
+    d1 = ChannelWiseDAEModel(x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=16)
+    d2 = ChannelWiseDAEModel(x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=16,
+                             channel_impl="blockdiag")
+    pd = d1.init(jax.random.PRNGKey(0), *dargs)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(d1.apply(pd, *dargs)),
+        jax.tree_util.tree_leaves(d2.apply(pd, *dargs)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_torch_style_init_transform():
+    """torch_style_init re-draws kernels/biases as torch.nn.Linear's default
+    (U(±1/√fan_in), nonzero biases), preserving structure; the model runs."""
+    import numpy as np
+
+    from py_psnode_tpu.models import ODEModel
+    from py_psnode_tpu.models.initializers import torch_style_init
+
+    rng = np.random.default_rng(0)
+    B, T = 4, 9
+    batch = {
+        "t": (np.cumsum(np.full((B, T, 1), 0.01), 1) - 0.01).astype(np.float32),
+        "x": rng.normal(size=(B, T, 2)).astype(np.float32),
+        "z": rng.normal(size=(B, T, 2)).astype(np.float32),
+        "event_t": np.full((B, 2), -1.0, np.float32),
+        "z_jump": rng.normal(size=(B, 2, 2)).astype(np.float32),
+    }
+    m = ODEModel(x_dim=2, z_dim=2, hidden_dim=16)
+    args = tuple(jnp.asarray(batch[k]) for k in ("t", "x", "z", "event_t", "z_jump"))
+    p = m.init(jax.random.PRNGKey(0), *args)
+    p2 = torch_style_init(p, jax.random.PRNGKey(1))
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+
+    def check(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if "kernel" in v and v["kernel"].ndim == 2:
+                    bd = 1.0 / np.sqrt(v["kernel"].shape[0]) + 1e-7
+                    assert np.abs(v["kernel"]).max() <= bd
+                    bmax = np.abs(v["bias"]).max()
+                    assert 0 < bmax <= bd  # torch init: NONZERO biases
+                else:
+                    check(v)
+
+    check(p2["params"] if "params" in p2 else p2)
+    out = m.apply(p2, *args)
+    assert np.isfinite(np.asarray(out)).all()
