@@ -256,19 +256,17 @@ def lane_slices(bB: int, n_lanes: int):
     return [slice(l * sub, (l + 1) * sub) for l in range(n_lanes)]
 
 
-# lanes the kernels interleave per batch block (env override for tuning;
-# bit-exact for any value — lanes only partition independent rows).
-# Forward default 2: measured 1.25x on the B=64 rollout (fills the MXU
-# drain + VPU gaps of the serial chain). Backward default 1: lanes
-# REGRESS the train step (7.4M vs 8.1M tsteps/s at the headline config)
-# with shared AND with fully independent per-lane weight-grad
-# accumulators alike — the DAE backward's AE/DE chains already provide
-# the ILP, so bwd lanes only add IR/VMEM overhead. Left wired (incl.
-# per-lane accumulator scratch) for other-shape tuning.
+# lanes the FORWARD kernels interleave per batch block (bit-exact for any
+# value — lanes only partition independent rows). Default 2: measured 1.25x
+# on the B=64 rollout (fills the MXU drain + VPU gaps of the serial chain).
+# The BACKWARD runs single-lane by design: multi-lane bwd was measured and
+# removed — it regresses the train step at every feasible shape (7.4M vs
+# 8.1M tsteps/s at the h=128 headline, -23% at h=256, both with fully
+# independent per-lane weight-grad accumulators) and OOMs scoped VMEM at
+# h=512 — the DAE backward's AE/DE chains already provide the ILP.
 import os as _os
 
 FWD_LANES = int(_os.environ.get("PSNODE_FWD_LANES", "2"))
-BWD_LANES = int(_os.environ.get("PSNODE_BWD_LANES", "1"))
 
 
 # time steps per grid iteration — amortizes grid/DMA sequencing over the
@@ -277,22 +275,20 @@ BWD_LANES = int(_os.environ.get("PSNODE_BWD_LANES", "1"))
 TIME_BLOCK = int(_os.environ.get("PSNODE_TIME_BLOCK", "8"))
 
 
-def set_kernel_tuning(fwd_lanes=None, bwd_lanes=None, time_block=None):
+def set_kernel_tuning(fwd_lanes=None, time_block=None):
     """Set the kernel scheduling knobs process-wide (None keeps the current
     value). The first-class entry points are ``TrainConfig.fwd_lanes /
-    bwd_lanes / time_block`` and the bench-config fields — the
-    ``PSNODE_*`` env vars remain as import-time defaults only. Every knob
-    is numerics-safe: lanes partition independent batch rows (bit-exact)
-    and the time block only regroups grid iterations.
+    time_block`` and the bench-config fields — the ``PSNODE_*`` env vars
+    remain as import-time defaults only. Every knob is numerics-safe: lanes
+    partition independent batch rows (bit-exact) and the time block only
+    regroups grid iterations.
 
-    Returns the effective ``{"fwd_lanes", "bwd_lanes", "time_block"}`` so
-    callers (bench harnesses) can record what a run actually used.
+    Returns the effective ``{"fwd_lanes", "time_block"}`` so callers
+    (bench harnesses) can record what a run actually used.
     """
-    global FWD_LANES, BWD_LANES, TIME_BLOCK
+    global FWD_LANES, TIME_BLOCK
     if fwd_lanes is not None:
         FWD_LANES = max(1, int(fwd_lanes))
-    if bwd_lanes is not None:
-        BWD_LANES = max(1, int(bwd_lanes))
     if time_block is not None:
         TIME_BLOCK = max(1, int(time_block))
     return kernel_tuning()
@@ -302,7 +298,6 @@ def kernel_tuning():
     """The effective kernel scheduling knobs (for run records)."""
     return {
         "fwd_lanes": FWD_LANES,
-        "bwd_lanes": BWD_LANES,
         "time_block": TIME_BLOCK,
     }
 

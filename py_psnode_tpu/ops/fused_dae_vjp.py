@@ -153,7 +153,6 @@ def _bwd_kernel(
     xd: int,
     tf_x: bool = False,
     emit_true: bool = True,
-    n_lanes: int = 1,
 ):
     n_de, n_ae = n_tails
     n_w = 3 + 2 * (n_de + n_ae)
@@ -202,11 +201,7 @@ def _bwd_kernel(
         g_xt_ref, g_xt1_ref = outs[k2], outs[k2 + 1]
         k2 += 2
     g_x0_ref, g_i0_ref = outs[k2], outs[k2 + 1]
-    # scratch trail the outputs; with n_lanes > 1 the tail is (L-1)*n_w
-    # per-lane weight-grad accumulator copies (see _tail_bwd_multi)
-    rest = outs[k2 + 2 :]
-    gx_c, gi_c, i_in_buf, sol_carry, cot_carry = rest[:5]
-    acc_extra = rest[5:]
+    gx_c, gi_c, i_in_buf, sol_carry, cot_carry = outs[k2 + 2 :]
 
     bidx = pl.program_id(0)
     sidx = pl.program_id(1)  # NB: lane loops below bind ``s`` for slices
@@ -225,28 +220,19 @@ def _bwd_kernel(
     def _():
         for r in gw:
             r[:] = jnp.zeros_like(r)
-        for r in acc_extra:
-            r[:] = jnp.zeros_like(r)
 
     tblk = n - 1 - sidx  # forward time-block index
 
-    # lane-interleaved reverse walk (see fused_dae._kernel): the batch block
-    # splits into independent row sub-blocks whose chains interleave; each
-    # weight-grad accumulator takes ONE summed update per layer (the
-    # per-lane partial dots are independent). L=1 degenerates to the plain
-    # loop; lanes are bit-exact (they only partition rows).
-    from py_psnode_tpu.ops.fused_dae import lane_slices
-
-    sl = lane_slices(gx_c.shape[0], n_lanes)
-    L = len(sl)
-    # per-lane accumulator ref lists: lane 0 owns the outputs, lanes 1..
-    # their scratch copies (summed into the outputs at the last iteration)
-    if len(acc_extra) == (L - 1) * n_w:
-        acc_lanes = [list(gw)] + [
-            list(acc_extra[(l - 1) * n_w : l * n_w]) for l in range(1, L)
-        ]
-    else:  # scratch under-provisioned -> lanes share the output accumulators
-        acc_lanes = [list(gw)] * L
+    # The backward walks the block single-lane (L=1): multi-lane bwd
+    # interleaving was measured and removed — even with per-lane weight-grad
+    # accumulators it loses ~23% at h=256 (accumulator traffic dominates)
+    # and OOMs scoped VMEM at h=512 (accumulator copies ~2.5M over the 16M
+    # limit); see ACCURACY.md round-3 kernel notes. The list-generic helpers
+    # below (_tail_{fwd_res,bwd}_multi) degenerate to plain loops at L=1 and
+    # are shared with the forward's (still-active) FWD_LANES interleaving.
+    sl = [slice(0, gx_c.shape[0])]
+    L = 1
+    acc_lanes = [list(gw)]
     d_wx_l = [a[0] for a in acc_lanes]
     d_wi_l = [a[1] for a in acc_lanes]
     d_gx_l = [a[2] for a in acc_lanes]
@@ -461,15 +447,6 @@ def _bwd_kernel(
         g_x0_ref[:] = gx_c[:]
         g_i0_ref[:] = gi_c[:]
 
-    if acc_extra:
-        # fold the per-lane scratch accumulators into the outputs once, at
-        # the very last grid iteration (b outer, s inner -> (nB-1, n-1))
-        @pl.when((sidx == n - 1) & (bidx == pl.num_programs(0) - 1))
-        def _():
-            for l in range(1, L):
-                for r0, rl in zip(gw, acc_lanes[l]):
-                    r0[:] += rl[:]
-
 
 def vjp_time_block(B, h, xd, tf_x):
     """Unified fwd/bwd time block so the padded stream/solution buffers are
@@ -568,16 +545,6 @@ def _run_backward(
         *tf_out_specs,
         bspec(xd), bspec(idim),
     )
-    from py_psnode_tpu.ops.fused_dae import BWD_LANES, lane_slices
-
-    # per-lane weight-grad accumulator scratch (see _tail_bwd_multi):
-    # only provisioned when the backward actually runs multi-lane
-    n_acc_lanes = len(lane_slices(bB, BWD_LANES))
-    acc_scratch = [
-        pltpu.VMEM(gshape(wk), jnp.float32)
-        for _ in range(n_acc_lanes - 1)
-        for wk in wflat
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nB, nT),
@@ -589,13 +556,12 @@ def _run_backward(
             pltpu.VMEM((bB, idim), jnp.float32),
             pltpu.VMEM((bB, D), jnp.float32),  # sol reverse-carry
             pltpu.VMEM((bB, D), jnp.float32),  # cot reverse-carry
-            *acc_scratch,
         ],
     )
     outs = pl.pallas_call(
         functools.partial(
             _bwd_kernel, solver=solver, n_tails=n_tails, tb=tb, xd=xd,
-            tf_x=tf_x, emit_true=emit_g_true, n_lanes=BWD_LANES,
+            tf_x=tf_x, emit_true=emit_g_true,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

@@ -99,7 +99,6 @@ class TrainConfig:
     # independent batch rows (bit-exact), time_block regroups grid
     # iterations. Recorded per-entry by the bench suite.
     fwd_lanes: Optional[int] = None
-    bwd_lanes: Optional[int] = None
     time_block: Optional[int] = None
     # "lecun" (flax default) | "torch" (re-draw params as torch.nn.Linear's
     # kaiming_uniform kernels + U(±1/√fan_in) biases — accuracy-parity
@@ -156,10 +155,10 @@ class Trainer:
                 "teacher forcing and multi-shooting are mutually exclusive "
                 "(multi-shooting IS windowed teacher forcing)"
             )
-        if (cfg.fwd_lanes, cfg.bwd_lanes, cfg.time_block) != (None,) * 3:
+        if (cfg.fwd_lanes, cfg.time_block) != (None, None):
             from py_psnode_tpu.ops.fused_dae import set_kernel_tuning
 
-            set_kernel_tuning(cfg.fwd_lanes, cfg.bwd_lanes, cfg.time_block)
+            set_kernel_tuning(cfg.fwd_lanes, cfg.time_block)
         self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
         self.larger_than = (
             self.variant.larger_than if cfg.larger_than == "variant" else cfg.larger_than

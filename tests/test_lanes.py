@@ -1,9 +1,10 @@
-"""Lane interleaving (fused_dae.FWD_LANES / BWD_LANES) only partitions
-batch rows, so every lane count computes the same math per row. On the TPU
-the outputs are bit-identical (measured maxdiff 0.0 on-chip for lanes 1/2/4
-— see ACCURACY.md); the CPU interpreter's dot kernels pick shape-dependent
-SIMD accumulation orders, so here we pin tight-tolerance equivalence and
-the fallback/slicing logic."""
+"""Lane interleaving (fused_dae.FWD_LANES) only partitions batch rows, so
+every lane count computes the same math per row. On the TPU the outputs are
+bit-identical (measured maxdiff 0.0 on-chip for lanes 1/2/4 — see
+ACCURACY.md); the CPU interpreter's dot kernels pick shape-dependent SIMD
+accumulation orders, so here we pin tight-tolerance equivalence and the
+fallback/slicing logic. (Backward lanes were measured and REMOVED — they
+regress or OOM at every feasible shape; see fused_dae.FWD_LANES notes.)"""
 
 import jax
 import jax.numpy as jnp
@@ -18,9 +19,9 @@ from test_fused_dae_vjp import _fused_loss
 
 @pytest.fixture
 def lanes_restore():
-    fwd, bwd = FD.FWD_LANES, FD.BWD_LANES
+    fwd = FD.FWD_LANES
     yield
-    FD.FWD_LANES, FD.BWD_LANES = fwd, bwd
+    FD.FWD_LANES = fwd
 
 
 def _grads(model, params, batch, dims, targets):
@@ -43,7 +44,6 @@ def test_lane_counts_equivalent(rng, lanes_restore):
     outs = {}
     for lanes in (1, 2, 4):
         FD.FWD_LANES = lanes
-        FD.BWD_LANES = lanes
         outs[lanes] = _grads(model, params, batch, dims, targets)
     l1, g1 = outs[1]
     for lanes in (2, 4):

@@ -364,7 +364,7 @@ def test_robust_loss_opt_in(avr_data, tmp_path):
 
 
 def test_kernel_tuning_config(avr_data, tmp_path):
-    """TrainConfig.fwd_lanes/bwd_lanes/time_block reach the kernel module
+    """TrainConfig.fwd_lanes/time_block reach the kernel module
     (VERDICT r2 item 7: no env-only tuning)."""
     from py_psnode_tpu.ops.fused_dae import kernel_tuning, set_kernel_tuning
 
@@ -377,7 +377,6 @@ def test_kernel_tuning_config(avr_data, tmp_path):
         Trainer(cfg)  # construction applies the knobs process-wide
         now = kernel_tuning()
         assert now["fwd_lanes"] == 1 and now["time_block"] == 4
-        assert now["bwd_lanes"] == before["bwd_lanes"]
     finally:
         set_kernel_tuning(**before)
 
