@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "(ref utils.py:29-42): NaN losses take a "
                              "zero-gradient step; losses above 1 are "
                              "gradient-direction-normalized.")
+    parser.add_argument("--init_style", default="lecun",
+                        choices=("lecun", "torch"),
+                        help="Weight init: flax default (lecun_normal, "
+                             "zero biases) or torch nn.Linear's "
+                             "(kaiming_uniform + U(±1/sqrt(fan_in)) "
+                             "biases — the reference's distribution).")
     parser.add_argument("--larger_than", type=str, default="variant",
                         help='contain_larger_than/show_larger_than filter: a '
                              'float, "none", or "variant" (per-variant '
@@ -173,6 +179,7 @@ def main(variant: str, argv=None):
         input_true_i=args.input_true_i,
         larger_than=_parse_larger_than(args.larger_than),
         robust_loss=args.robust_loss,
+        init_style=args.init_style,
         progress=True,
     )
     trainer = Trainer(cfg)
