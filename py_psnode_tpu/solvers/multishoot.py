@@ -96,7 +96,7 @@ def multishoot_dae(
     stepper: Stepper,
     de_fn: Callable,
     ae_fn: Callable,
-    init_fn: Callable,
+    x0w: jnp.ndarray,
     t: jnp.ndarray,
     z: jnp.ndarray,
     v: jnp.ndarray,
@@ -111,14 +111,23 @@ def multishoot_dae(
 ):
     """Windowed semi-explicit DAE solve.
 
-    Window initial differential states come from ``init_fn(z0, v0, i0)``
-    evaluated at each window start (the learned consistent initialization —
-    the DAE's natural window-start estimator; differential states are never
-    read from data, matching ref neural_01_DAE_01_no_encode.py:98).
+    Args:
+      x0w: folded window-start differential states ``[K*B, xd]`` in the
+        ``_window_fold`` order (window-major). Callers use the model's
+        ``Init_Func`` output for window 0 (the reference's t=0 contract,
+        ref neural_01_DAE_01_no_encode.py:98) and the TRUE data states for
+        windows 1.. — per-window teacher forcing, the same data the
+        reference's ``input_true_x`` lever reads (my_solvers.py:113).
+        An earlier design derived every window's start from
+        ``Init_Func(z, v, i)`` at that window's instantaneous inputs; that
+        is only identifiable at the t=0 equilibrium — mid-transient the
+        same (z, v, i) maps to many x, so windows 1.. trained the shared
+        nets on a non-invertible target and measurably DIVERGED the full
+        rollout (benchmarks/multishoot_study.py, round 3).
 
     Returns ``(x_solution [T, B, xd], i_solution [T, B, id],
     gaps [K-1, B, xd])`` where gaps compare each window's rollout end with
-    the next window's ``init_fn`` start.
+    the next window's start.
     """
     T, B = t.shape[0], t.shape[1]
     K = n_windows
@@ -136,7 +145,6 @@ def multishoot_dae(
     if is_event is not None:
         evw = _window_fold(is_event[:, :, None], K, L, 0)[:, :, 0]
 
-    x0w = init_fn(zw_full[0], vw_full[0], iw_full[0])  # [K*B, xd]
     x_sol_w, i_sol_w = integrate_dae(
         stepper, de_fn, ae_fn, x0w, tw, zw_full, vw_full, zw, vw,
         is_event=evw, x_true=None, i_true=iw_full,

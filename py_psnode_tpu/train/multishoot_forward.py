@@ -74,10 +74,13 @@ def multishoot_dae_apply(
 ):
     """Returns ``((x_pred, i_pred) batch-major, gaps [K-1,B,xd])``.
 
-    Window starts use the learned ``Init_Func`` at each boundary and the
-    model's ``all_initial`` conditioning is re-derived per window (each
-    window is its own initial-value problem — consistent with the model's
-    own initialization contract, ref neural_01_DAE_01_no_encode.py:98-99).
+    Window 0 starts from the learned ``Init_Func`` (the reference's t=0
+    contract, ref neural_01_DAE_01_no_encode.py:98-99); windows 1.. start
+    from the TRUE data states (per-window teacher forcing, the same data
+    the reference's ``input_true_x`` lever reads). ``all_initial`` is the
+    GLOBAL t=0 conditioning, tiled — every window continues the same IVP
+    at the same operating point (see :func:`multishoot_dae` for why
+    per-window ``Init_Func`` starts diverge).
     """
     xd, zd, vd, idim = dims
     h = hidden_dim
@@ -95,22 +98,21 @@ def multishoot_dae_apply(
     )[:-1]
     ev = _tm(is_event[:, :, None])[:-1, :, 0]
     tT = _tm(batch["t"])
+    xT = _tm(batch["x"])
     zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
 
-    init_fn = lambda z0, v0, i0: init_f.apply({"params": p["init_func"]}, z0, v0, i0)
-
-    # per-window all_initial: computed from each window's own start inputs
     K = n_windows
     L = (tT.shape[0] - 1) // K
-    z0w = jnp.concatenate([zT[w * L][None] for w in range(K)], 0)
-    v0w = jnp.concatenate([vT[w * L][None] for w in range(K)], 0)
-    i0w = jnp.concatenate([iT[w * L][None] for w in range(K)], 0)
     B = tT.shape[1]
-    z0f = z0w.reshape(K * B, -1)
-    v0f = v0w.reshape(K * B, -1)
-    i0f = i0w.reshape(K * B, -1)
-    x0f = init_fn(z0f, v0f, i0f)
-    all_init_f = jnp.concatenate([x0f, z0f, v0f, i0f], axis=-1)
+    x0_global = init_f.apply(
+        {"params": p["init_func"]}, zT[0], vT[0], iT[0]
+    )  # [B, xd]
+    all_init = jnp.concatenate([x0_global, zT[0], vT[0], iT[0]], axis=-1)
+    all_init_f = tile_batch(all_init, K)  # same w*B+b order as _window_fold
+    starts = jnp.concatenate(
+        [x0_global[None]] + [xT[w * L][None] for w in range(1, K)], 0
+    )  # [K, B, xd]
+    x0w = starts.reshape(K * B, xd)
 
     de_fn = lambda tt, xx, zz, vv, ii: de.apply(
         {"params": p["de_func"]}, tt, all_init_f, xx, zz, vv, ii
@@ -119,7 +121,7 @@ def multishoot_dae_apply(
         {"params": p["ae_func"]}, all_init_f, xx, zz, vv
     )
     x_sol, i_sol, gaps = multishoot_dae(
-        solver, de_fn, ae_fn, init_fn, tT, zT, vT, iT, z_used, v_used,
+        solver, de_fn, ae_fn, x0w, tT, zT, vT, iT, z_used, v_used,
         n_windows, is_event=ev, remat=remat, unroll=unroll,
     )
     return (_tm(x_sol), _tm(i_sol)), gaps
@@ -222,9 +224,13 @@ def fused_multishoot_ode_encode_apply(
 
 def _dae_encode_prep(params, batch, dims, hidden_dim, n_windows):
     """Shared DAE direct-encode multishoot preamble: five codecs, latent
-    streams with latent event jumps, per-window raw Init (the model
-    initializes from RAW z/v/i then encodes,
-    ref neural_01_DAE_02_direct_encode.py:126-127), folded latent streams.
+    streams with latent event jumps, folded latent streams. Window 0's
+    initial is raw ``Init_Func`` then encode (the model initializes from
+    RAW z/v/i then encodes, ref neural_01_DAE_02_direct_encode.py:126-127);
+    windows 1.. start from the ENCODED TRUE data states, and the
+    ``all_initial`` conditioning is the global t=0 value tiled — see
+    :func:`py_psnode_tpu.solvers.multishoot.multishoot_dae` for why
+    per-window ``Init_Func`` starts diverge.
     """
     xd, zd, vd, idim = dims
     h = hidden_dim
@@ -260,17 +266,20 @@ def _dae_encode_prep(params, batch, dims, hidden_dim, n_windows):
     vhw = _window_fold(vh_used, K, L, 0)
     evw = _window_fold(ev[:, :, None], K, L, 0)[:, :, 0]
 
-    # per-window raw Init → encode (window initials, teacher-forced inputs)
-    z0w = _window_fold(zT_raw, K, L, 1)[0]
-    v0w = _window_fold(vT_raw, K, L, 1)[0]
-    i0w_raw = _window_fold(iT_raw, K, L, 1)[0]
-    x0_raw_w = InitFunc((h, h, xd)).apply(
-        {"params": p["init_func"]}, z0w, v0w, i0w_raw
-    )
+    # window 0: raw Init → encode; windows 1..: true data states → encode
+    xT_raw = _tm(batch["x"])
+    x0_global_raw = InitFunc((h, h, xd)).apply(
+        {"params": p["init_func"]}, zT_raw[0], vT_raw[0], iT_raw[0]
+    )  # [B, xd]
+    starts_raw = jnp.concatenate(
+        [x0_global_raw[None]] + [xT_raw[w * L][None] for w in range(1, K)], 0
+    )  # [K, B, xd]
+    x0_raw_w = starts_raw.reshape(K * B, xd)
     xh0_w = x_enc(x0_raw_w)
-    all_init_f = jnp.concatenate(
-        [xh0_w, zhw_full[0], vhw_full[0], ihw_full[0]], axis=-1
-    )
+    all_init = jnp.concatenate(
+        [x_enc(x0_global_raw), zhT[0], vhT[0], ihT[0]], axis=-1
+    )  # global t=0 latent conditioning
+    all_init_f = tile_batch(all_init, K)  # same w*B+b order as _window_fold
     zl = zhT.shape[-1]
     return (
         p, x_enc, x_dec, i_dec, i_enc, tT, T, B, K, L, tw,
@@ -305,9 +314,10 @@ def multishoot_dae_encode_apply(
     remat=True,
     unroll: int = 1,
 ):
-    """Multi-shooting for the DAE direct-encode variant: per-window latent
-    windows with raw-``Init``-then-encode window initials, latent event
-    jumps, lagged-``i`` latent integration, decode + recon outputs.
+    """Multi-shooting for the DAE direct-encode variant: latent windows
+    (window 0 raw-``Init``-then-encode, windows 1.. encoded true data),
+    latent event jumps, lagged-``i`` latent integration, decode + recon
+    outputs.
 
     Returns ``((x_pred, i_pred, x_re, i_re), gaps [K-1, B, h])``.
     """
@@ -438,9 +448,12 @@ def fused_multishoot_dae_apply(
     precision: str = "default",
 ):
     """Fused-kernel multi-shooting DAE forward — the folded-batch counterpart
-    of :func:`multishoot_dae_apply`: window starts use the learned
-    ``Init_Func`` per window, ``all_initial`` is re-derived per window, and
-    the K×B folded rollout runs through the custom-VJP Pallas DAE kernel.
+    of :func:`multishoot_dae_apply`: window 0 starts from the learned
+    ``Init_Func`` (ref neural_01_DAE_01_no_encode.py:98), windows 1.. from
+    the TRUE data states, ``all_initial`` is the global t=0 conditioning
+    tiled, and the K×B folded rollout runs through the custom-VJP Pallas
+    DAE kernel (see :func:`py_psnode_tpu.solvers.multishoot.multishoot_dae`
+    for why per-window ``Init_Func`` starts diverge).
 
     Returns ``((x_pred, i_pred) batch-major, gaps [K-1,B,xd])``.
     """
@@ -461,6 +474,7 @@ def fused_multishoot_dae_apply(
     )[:-1]
     ev = _tm(is_event[:, :, None])[:-1, :, 0]
     tT = _tm(batch["t"]).astype(jnp.float32)
+    xT = _tm(batch["x"])
     zT, vT, iT = _tm(batch["z"]), _tm(batch["v"]), _tm(batch["i"])
     T, B = tT.shape[0], tT.shape[1]
     K = n_windows
@@ -475,8 +489,13 @@ def fused_multishoot_dae_apply(
     evw = _window_fold(ev[:, :, None], K, L, 0)[:, :, 0]
 
     init_f = InitFunc((h, h, xd))
-    x0w = init_f.apply({"params": p["init_func"]}, zw_full[0], vw_full[0], iw_full[0])
-    all_init_f = jnp.concatenate([x0w, zw_full[0], vw_full[0], iw_full[0]], -1)
+    x0_global = init_f.apply({"params": p["init_func"]}, zT[0], vT[0], iT[0])
+    all_init = jnp.concatenate([x0_global, zT[0], vT[0], iT[0]], -1)
+    all_init_f = tile_batch(all_init, K)  # same w*B+b order as _window_fold
+    starts = jnp.concatenate(
+        [x0_global[None]] + [xT[w * L][None] for w in range(1, K)], 0
+    )  # [K, B, xd]
+    x0w = starts.reshape(K * B, xd)
     i0w = AEFunc((h, h, h, idim)).apply(
         {"params": p["ae_func"]}, all_init_f, x0w, zw_full[0], vw_full[0]
     )

@@ -89,19 +89,27 @@ def test_multishoot_dae_k1_matches(rng):
         "euler", f, g, x0, t, z, v, z[:-1], v[:-1], remat=False
     )
     ms_x, ms_i, gaps = multishoot_dae(
-        "euler", f, g, init_fn, t, z, v, i, z[:-1], v[:-1], 1, remat=False
+        "euler", f, g, x0, t, z, v, i, z[:-1], v[:-1], 1, remat=False
     )
     np.testing.assert_allclose(np.array(ms_x), np.array(plain_x), rtol=1e-6)
     np.testing.assert_allclose(np.array(ms_i), np.array(plain_i), rtol=1e-6)
+    # K=4: caller-supplied window starts (window 0 = x0, rest arbitrary)
+    L = (T - 1) // 4
+    starts = jnp.concatenate(
+        [x0[None]]
+        + [init_fn(z[w * L], v[w * L], i[w * L])[None] for w in range(1, 4)],
+        0,
+    )  # [K, B, xd]
     ms_x4, ms_i4, gaps4 = multishoot_dae(
-        "euler", f, g, init_fn, t, z, v, i, z[:-1], v[:-1], 4, remat=False
+        "euler", f, g, starts.reshape(4 * B, xd), t, z, v, i, z[:-1], v[:-1],
+        4, remat=False,
     )
     assert gaps4.shape == (3, B, xd)
     # gap[0] = window-0 rollout end (the stitched boundary point) minus the
-    # init_fn start of window 1
+    # supplied start of window 1
     np.testing.assert_allclose(
         np.array(gaps4[0]),
-        np.array(ms_x4[3] - init_fn(z[3], v[3], i[3])),
+        np.array(ms_x4[L] - starts[1]),
         rtol=1e-6, atol=1e-12,
     )
 
