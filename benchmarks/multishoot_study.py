@@ -101,8 +101,8 @@ def main():
         runs.append(run_one(tag, data, work, n_windows=K, gap_weight=1.0, **kw))
         print(json.dumps(runs[-1] | {"eval_history": "..."}), flush=True)
     if not args.quick:
-        for gw in (0.3, 3.0):
-            runs.append(run_one(f"K20_g{gw}", data, work, n_windows=20,
+        for K, gw in ((20, 0.3), (20, 3.0), (20, 0.1), (8, 0.3), (40, 0.3)):
+            runs.append(run_one(f"K{K}_g{gw}", data, work, n_windows=K,
                                 gap_weight=gw, **kw))
             print(json.dumps(runs[-1] | {"eval_history": "..."}), flush=True)
 

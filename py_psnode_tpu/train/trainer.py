@@ -119,8 +119,13 @@ class TrainConfig:
     input_true_x: bool = False
     input_true_i: bool = False
     # multi-shooting: split the horizon into K windows trained in parallel
-    # (no-encode variants; (step-1) must be divisible by K). gap_weight
-    # penalizes window-boundary continuity defects.
+    # ((step-1) must be divisible by K). gap_weight penalizes
+    # window-boundary continuity defects. Recommended long-horizon config
+    # at T~1000: n_windows=20, gap_weight=0.3 — reaches a BETTER final
+    # full-rollout eval than plain BPTT in fewer epochs at ~3x less wall
+    # clock (K-sweep + convergence study: ACCURACY.md round-3,
+    # benchmarks/multishoot_study.py). Keep windows >= ~50 steps: 25-step
+    # windows (K=40 at T=1001) under-constrain the rollout and diverge.
     n_windows: Optional[int] = None
     gap_weight: float = 1.0
     # keep the whole training set resident on device and gather batches by
