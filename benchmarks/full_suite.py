@@ -244,6 +244,18 @@ def bench_config(
         kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
         forward = lambda p, b: fused_ode_encode_apply(
             p, b, h, solver=solver, precision=kprec)
+    elif fused and variant_name == "ode_channelwise":
+        from py_psnode_tpu.ops.fused_channelwise import fused_cw_ode_apply
+
+        kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
+        forward = lambda p, b: fused_cw_ode_apply(
+            p, b, dims[:2], h, solver=solver, precision=kprec)
+    elif fused and variant_name == "dae_channelwise":
+        from py_psnode_tpu.ops.fused_channelwise import fused_cw_dae_apply
+
+        kprec = "bfloat16" if precision in ("bfloat16", "bf16_kernels") else "default"
+        forward = lambda p, b: fused_cw_dae_apply(
+            p, b, dims, h, solver=solver, precision=kprec)
     else:
         forward = lambda p, b: model.apply(p, *[b[k] for k in v.batch_args])
 
@@ -357,6 +369,9 @@ def main():
         ("8b. Fleet h=256 (fused)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True),
         ("8c. DAE no-encode h=512 (fused)", "dae_no_encode", 64, T, 512, "rk4", True),
         ("8d. Fleet h=512 (fused)", "dae_no_encode", 1024, Tfleet, 512, "rk4", True),
+        # wide-h bf16 kernel compute: the h=512 kernels are VMEM-saturated
+        # and MXU-rate-bound at f32 — bf16 halves both
+        ("8e. DAE no-encode h=512 (fused, bf16 kernels)", "dae_no_encode", 64, T, 512, "rk4", True, "bf16_kernels"),
         # bf16 kernel compute mode (fused_dae.cast_compute): streams + 2-D
         # weights cast at the pallas boundary, f32 accumulation
         ("9a. DAE no-encode (fused, bf16)", "dae_no_encode", 64, T, 128, "rk4", True, "bfloat16"),
@@ -375,6 +390,10 @@ def main():
         # (latency-bound regime; same math — see PerChannelMLP.impl)
         ("10c. ODE channel-wise (blockdiag)", "ode_channelwise", 64, T, 128, "rk4", False, None, "rollout", None, None, "random", {"channel_impl": "blockdiag"}),
         ("10d. DAE channel-wise (blockdiag)", "dae_channelwise", 64, T, 128, "rk4", False, None, "rollout", None, None, "random", {"channel_impl": "blockdiag"}),
+        # fused channel-wise pallas kernel (ops/fused_channelwise.py):
+        # whole-eval VMEM residency, vertical chain in (b,l)-rows orientation
+        ("10e. ODE channel-wise (fused)", "ode_channelwise", 64, T, 128, "rk4", True),
+        ("10f. DAE channel-wise (fused)", "dae_channelwise", 64, T, 128, "rk4", True),
     ]
     results = []
     for idx, cfg in enumerate(configs):
