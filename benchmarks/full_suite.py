@@ -161,7 +161,9 @@ def bench_config(
     model = v.make_model(model_dims, h, solver=solver, unroll=8,
                          **(model_kw or {}))
     args = tuple(jb[k] for k in v.batch_args)
+    print(f"[{name}] init...", flush=True)
     params = model.init(jax.random.PRNGKey(0), *args)
+    print(f"[{name}] init done", flush=True)
     tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
 
     if mode == "multishoot":
@@ -280,8 +282,10 @@ def bench_config(
         return optax.apply_updates(params, u), o2, loss
 
     opt = tx.init(params)
+    print(f"[{name}] compiling train step...", flush=True)
     params, opt, loss = step(params, opt, jb)
     l0 = float(loss)
+    print(f"[{name}] first step done", flush=True)
     t0 = time.time()
     for _ in range(iters):
         params, opt, loss = step(params, opt, jb)
