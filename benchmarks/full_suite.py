@@ -326,6 +326,15 @@ def main():
     T = 251 if quick else 1001
     Tfleet = 251 if quick else 2001
     iters = 10 if quick else 30
+    # --t=N: horizon override for compile-scaling diagnosis of a single
+    # config (results at a non-default T are printed but NOT merged into
+    # BENCH_DETAILS.json, which records the canonical envelope only)
+    t_override = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--t=")),
+        None,
+    )
+    if t_override:
+        T = Tfleet = t_override
     configs = [
         ("1a. ODE no-encode RK4 (XLA)", "ode_no_encode", 64, T, 128, "rk4", False),
         ("1b. ODE no-encode RK4 (fused)", "ode_no_encode", 64, T, 128, "rk4", True),
@@ -421,6 +430,9 @@ def main():
             r = {"name": name, "error": f"{type(e).__name__}: {e}"}
         results.append(r)
         print(json.dumps(r))
+    if t_override:
+        print("(--t override: results not merged into BENCH_DETAILS.json)")
+        return
     out = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAILS.json"
     if out.exists() and only:
         prev = {r["name"]: r for r in json.loads(out.read_text())["results"]}
