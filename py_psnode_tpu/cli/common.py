@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "zero biases) or torch nn.Linear's "
                              "(kaiming_uniform + U(±1/sqrt(fan_in)) "
                              "biases — the reference's distribution).")
+    parser.add_argument("--channel_impl", default="einsum",
+                        choices=("einsum", "blockdiag"),
+                        help="Channel-wise variants only: per-channel "
+                             "matmul form. blockdiag evaluates the "
+                             "per-channel stacks as one wide block-"
+                             "diagonal MXU dot per layer (recommended at "
+                             "small batch; identical math).")
     parser.add_argument("--larger_than", type=str, default="variant",
                         help='contain_larger_than/show_larger_than filter: a '
                              'float, "none", or "variant" (per-variant '
@@ -180,6 +187,7 @@ def main(variant: str, argv=None):
         larger_than=_parse_larger_than(args.larger_than),
         robust_loss=args.robust_loss,
         init_style=args.init_style,
+        channel_impl=args.channel_impl,
         progress=True,
     )
     trainer = Trainer(cfg)

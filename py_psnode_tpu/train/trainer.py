@@ -104,6 +104,11 @@ class TrainConfig:
     # kaiming_uniform kernels + U(±1/√fan_in) biases — accuracy-parity
     # studies vs the reference; see models/initializers.py)
     init_style: str = "lecun"
+    # channel-wise variants only — per-channel matmul form: "einsum"
+    # (minimal FLOPs) | "blockdiag" (one wide block-diagonal MXU dot per
+    # layer; the recommended train form at small batch — suite 10c/10d,
+    # ACCURACY.md round-3). Identical math either way.
+    channel_impl: str = "einsum"
     # structured metrics (train_metrics.jsonl) alongside the text logs
     jsonl_metrics: bool = True
     # route the DAE no-encode forward through the fused Pallas kernel pair
@@ -192,9 +197,17 @@ class Trainer:
     def build_model(self, ds):
         cfg = self.cfg
         dims = dataset_dims(self.variant, ds)
-        model = self.variant.make_model(
-            dims, cfg.hidden, solver=cfg.solver, remat=cfg.remat, unroll=cfg.unroll
-        )
+        kw = dict(solver=cfg.solver, remat=cfg.remat, unroll=cfg.unroll)
+        if "channelwise" in self.variant.name:
+            # per-channel matmul form: "einsum" (minimal FLOPs) or
+            # "blockdiag" (one wide MXU dot; wins at small batch — see
+            # PerChannelMLP.impl and suite entries 10c/10d)
+            kw["channel_impl"] = cfg.channel_impl
+        elif cfg.channel_impl != "einsum":
+            raise ValueError(
+                "channel_impl applies to the channel-wise variants only"
+            )
+        model = self.variant.make_model(dims, cfg.hidden, **kw)
         batch = pad_batch(next(ds.batches(min(2, len(ds)))), 1)
         args = tuple(jnp.asarray(batch[k]) for k in self.variant.batch_args)
         params = model.init(jax.random.PRNGKey(cfg.seed), *args)
@@ -246,6 +259,22 @@ class Trainer:
 
             dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
             return lambda params, batch: fused_dae_encode_apply(
+                params, batch, dims4, model.hidden_dim, solver=model.solver,
+                interpret=interpret, precision=cfg.matmul_precision,
+            )
+        if self.cfg.fused and variant.name == "ode_channelwise":
+            from py_psnode_tpu.ops.fused_channelwise import fused_cw_ode_apply
+
+            dims2 = (model.x_dim, model.z_dim)
+            return lambda params, batch: fused_cw_ode_apply(
+                params, batch, dims2, model.hidden_dim, solver=model.solver,
+                interpret=interpret, precision=cfg.matmul_precision,
+            )
+        if self.cfg.fused and variant.name == "dae_channelwise":
+            from py_psnode_tpu.ops.fused_channelwise import fused_cw_dae_apply
+
+            dims4 = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+            return lambda params, batch: fused_cw_dae_apply(
                 params, batch, dims4, model.hidden_dim, solver=model.solver,
                 interpret=interpret, precision=cfg.matmul_precision,
             )

@@ -257,6 +257,37 @@ def test_channelwise_dae_end_to_end(smib_data, tmp_path):
     assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
 
 
+def test_channelwise_fused_and_blockdiag_match_einsum(avr_data, tmp_path):
+    """TrainConfig.fused routes the channel-wise forward through the pallas
+    kernel (interpret mode on CPU) and channel_impl='blockdiag' evaluates
+    the per-channel stacks as one block-diagonal matmul — all three forms
+    train to the same loss trajectory (identical math modulo dot order)."""
+    ref = _cfg("ode_channelwise", avr_data, tmp_path / "m0", larger_than=None,
+               epoch=1)
+    _, mp0 = Trainer(ref).train()
+    evals0 = _loss_series(
+        np.load(mp0 / "train_and_eval.npz", allow_pickle=True)["eval"]
+    )
+    for tag, kw in (
+        ("fused", dict(fused=True)),
+        ("blockdiag", dict(channel_impl="blockdiag")),
+    ):
+        cfg = _cfg("ode_channelwise", avr_data, tmp_path / f"m_{tag}",
+                   larger_than=None, epoch=1, **kw)
+        _, mp = Trainer(cfg).train()
+        evals = _loss_series(
+            np.load(mp / "train_and_eval.npz", allow_pickle=True)["eval"]
+        )
+        np.testing.assert_allclose(evals, evals0, rtol=2e-3, err_msg=tag)
+
+
+def test_channel_impl_rejected_outside_family(avr_data, tmp_path):
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m",
+               channel_impl="blockdiag")
+    with pytest.raises(ValueError, match="channel-wise"):
+        Trainer(cfg).train()
+
+
 def test_drawing_produces_plots(avr_data, tmp_path):
     cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=1, drawing=True)
     _, model_path = Trainer(cfg).train()
