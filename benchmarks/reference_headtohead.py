@@ -22,7 +22,12 @@ reference loads .npz without casting, ``neural_base.py:25``).
 Usage:
   python benchmarks/reference_headtohead.py --variant ode --epochs 40
   python benchmarks/reference_headtohead.py --variant dae --epochs 40
-Writes benchmarks/headtohead_{variant}.json and prints a summary table.
+  python benchmarks/reference_headtohead.py --variant ode --encode ...
+Writes benchmarks/headtohead_{variant}[_encode].json and prints a summary
+table. With --encode the torch leg drives the reference's direct-encode
+scripts (neural_00_ODE_02_direct_encode.py:264-276 loss: x0 ADDED + masked
+x + recon; neural_01_DAE_02_direct_encode.py:355-370: x+i masked (no ω×9)
++ x0 + i0 + recon(x)+recon(i)) and ours runs the {ode,dae}_encode variants.
 """
 
 from __future__ import annotations
@@ -108,10 +113,11 @@ def _import_reference():
 
 
 def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
-              batch, seed):
+              batch, seed, encode=False):
     """Train the reference's own model/solver/event/data classes with a
     verbatim re-type of its training loop (ODE: script1:339-404; DAE:
-    script3:395-419). Returns eval history + final test-set predictions."""
+    script3:395-419; encode variants: script2:264-276 / script4:355-370).
+    Returns eval history + final test-set predictions."""
     import torch
     import torch.nn as nn
     from torch.utils.data import DataLoader
@@ -126,10 +132,12 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
     learning_rate, sch_gamma, gradient_clip = 0.005, 0.7, 1  # script1:46-51
     Loss_func = nn.functional.mse_loss
 
-    if variant == "ode":
-        import importlib
+    import importlib
 
-        ref = importlib.import_module("neural_00_ODE_01_no_encode")
+    if variant == "ode":
+        mod = ("neural_00_ODE_02_direct_encode" if encode
+               else "neural_00_ODE_01_no_encode")
+        ref = importlib.import_module(mod)
         train_ds = ref.ODE_Curves_Sample(str(train_npz), torch.device("cpu"))
         test_ds = ref.ODE_Curves_Sample(str(test_npz), torch.device("cpu"))
         model = ref.ODE_Model(
@@ -137,9 +145,9 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
             hidden_dim=hidden,
         )
     else:
-        import importlib
-
-        ref = importlib.import_module("neural_01_DAE_01_no_encode")
+        mod = ("neural_01_DAE_02_direct_encode" if encode
+               else "neural_01_DAE_01_no_encode")
+        ref = importlib.import_module(mod)
         train_ds = ref.DAE_Curves_Sample(str(train_npz), torch.device("cpu"))
         test_ds = ref.DAE_Curves_Sample(str(test_npz), torch.device("cpu"))
         model = ref.DAE_Model(
@@ -171,7 +179,25 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
         model.train()
         for data_batch in loader:
             sample_batched = [d.to(device) for d in data_batch]
-            if variant == "ode":
+            if variant == "ode" and encode:
+                t, x, z, event_t, z_jump, mask = sample_batched
+                x_pred, x_re = model.forward(t=t, x=x, z=z, event_t=event_t,
+                                             z_jump=z_jump)
+                # script2:264-276 — x0 IS added here (unlike no-encode),
+                # plus the autoencoder reconstruction term
+                x0_loss = Loss_func(x[:, 0, :], x_pred[:, 0, :]).view(1)
+                x_loss = torch.sum(
+                    torch.sum(Loss_func(x_pred, x, reduction="none") * mask,
+                              dim=1), dim=0
+                ) / torch.sum(mask)
+                x_recon_loss = Loss_func(x_re, x).view(1)
+                loss = (torch.sum(x0_loss) + torch.sum(x_loss)
+                        + torch.sum(x_recon_loss))
+                opt.zero_grad()
+                if torch.all(loss != 0.0):
+                    loss.backward()
+                opt.step()
+            elif variant == "ode":
                 t, x, z, event_t, z_jump, mask = sample_batched
                 x_pred = model.forward(t=t, x=x, z=z, event_t=event_t,
                                        z_jump=z_jump)
@@ -185,6 +211,28 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
                 opt.zero_grad()
                 if torch.all(loss != 0.0):
                     loss.backward()
+                opt.step()
+            elif encode:
+                t, x, z, v, i, event_t, z_jump, v_jump, mask = sample_batched
+                x_pred, i_pred, x_re, i_re = model.forward(
+                    t=t, x=x, z=z, v=v, i=i, event_t=event_t,
+                    z_jump=z_jump, v_jump=v_jump,
+                )
+                # script4:355-370 — NO ω×9 here (commented out in the ref);
+                # x0 + i0 + recon(x) + recon(i) all added
+                x_loss = torch.sum(
+                    Loss_func(x_pred, x, reduction="none") * mask
+                ) / torch.sum(mask)
+                i_loss = torch.sum(
+                    Loss_func(i_pred, i, reduction="none") * mask
+                ) / torch.sum(mask)
+                recon_loss = Loss_func(x_re, x) + Loss_func(i_re, i)
+                loss = (x_loss + i_loss
+                        + Loss_func(x[:, 0, :], x_pred[:, 0, :])
+                        + Loss_func(i[:, 0, :], i_pred[:, 0, :])
+                        + recon_loss)
+                opt.zero_grad()
+                loss.backward()
                 opt.step()
             else:
                 t, x, z, v, i, event_t, z_jump, v_jump, mask = sample_batched
@@ -234,12 +282,15 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
                 t, x, z, event_t, z_jump, mask = sample_batched
                 xp = model.forward(t=t, x=x, z=z, event_t=event_t,
                                    z_jump=z_jump)
+                if isinstance(xp, tuple):   # encode forward → (x_pred, x_re)
+                    xp = xp[0]
                 preds_x.append(xp.cpu().numpy())
             else:
                 t, x, z, v, i, event_t, z_jump, v_jump, mask = sample_batched
-                xp, ip = model.forward(t=t, x=x, z=z, v=v, i=i,
-                                       event_t=event_t, z_jump=z_jump,
-                                       v_jump=v_jump)
+                out = model.forward(t=t, x=x, z=z, v=v, i=i,
+                                    event_t=event_t, z_jump=z_jump,
+                                    v_jump=v_jump)
+                xp, ip = out[0], out[1]     # encode appends (x_re, i_re)
                 preds_x.append(xp.cpu().numpy())
                 preds_i.append(ip.cpu().numpy())
     pred = {"x": np.concatenate(preds_x)}
@@ -255,11 +306,11 @@ def run_torch(variant, train_npz, test_npz, out_dir, *, epochs, hidden,
 
 def run_ours(variant, train_npz, test_npz, out_dir, *, epochs, hidden, batch,
              n_train, steps, seed, fused=True, precision="default",
-             init_style="lecun"):
+             init_style="lecun", encode=False):
     from py_psnode_tpu.train import TrainConfig, Trainer
 
     cfg = TrainConfig(
-        variant=f"{variant}_no_encode",
+        variant=f"{variant}_{'encode' if encode else 'no_encode'}",
         train_data=str(train_npz),
         test_data=str(test_npz),
         model=str(out_dir),
@@ -303,6 +354,9 @@ def run_ours(variant, train_npz, test_npz, out_dir, *, epochs, hidden, batch,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", choices=["ode", "dae"], required=True)
+    ap.add_argument("--encode", action="store_true",
+                    help="compare the direct-encode family (script2/script4)"
+                         " instead of the no-encode one")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--steps", type=int, default=301)
@@ -317,11 +371,18 @@ def main():
     ap.add_argument("--init", default="lecun",
                     help="init_style for our leg (lecun|torch)")
     ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run our leg on the JAX CPU backend (use with"
+                         " --no_fused; Pallas on CPU is interpret-mode slow)")
     ap.add_argument("--tag", default="", help="suffix for the output json")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from py_psnode_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
@@ -334,8 +395,12 @@ def main():
     )
     print(f"[h2h] data written: {train_npz}", flush=True)
 
+    fam = f"{args.variant}_encode" if args.encode else args.variant
     result = {
         "variant": args.variant,
+        "family": fam,
+        "ours_backend": (f"{'cpu' if args.cpu else 'tpu'}-"
+                         f"{'xla' if args.no_fused else 'fused'}"),
         "protocol": {
             "epochs": args.epochs, "hidden": args.hidden,
             "steps": args.steps, "n_train": args.n_train,
@@ -346,11 +411,11 @@ def main():
     }
 
     pred_ours, meta_ours = run_ours(
-        args.variant, train_npz, test_npz, work / f"ours_{args.variant}",
+        args.variant, train_npz, test_npz, work / f"ours_{fam}",
         epochs=args.epochs, hidden=args.hidden, batch=args.batch,
         n_train=args.n_train, steps=args.steps, seed=args.seed,
         fused=not args.no_fused, precision=args.precision,
-        init_style=args.init,
+        init_style=args.init, encode=args.encode,
     )
     result["ours"] = {**meta_ours, "final": score(pred_ours, test_npz,
                                                   args.variant)}
@@ -358,9 +423,9 @@ def main():
 
     if not args.skip_torch:
         pred_t, meta_t = run_torch(
-            args.variant, train_npz, test_npz, work / f"torch_{args.variant}",
+            args.variant, train_npz, test_npz, work / f"torch_{fam}",
             epochs=args.epochs, hidden=args.hidden, batch=args.batch,
-            seed=args.seed,
+            seed=args.seed, encode=args.encode,
         )
         result["torch_reference"] = {**meta_t,
                                      "final": score(pred_t, test_npz,
@@ -368,7 +433,7 @@ def main():
         print(f"[h2h] torch done: {result['torch_reference']['final']}",
               flush=True)
 
-    out = REPO / "benchmarks" / f"headtohead_{args.variant}{args.tag}.json"
+    out = REPO / "benchmarks" / f"headtohead_{fam}{args.tag}.json"
     out.write_text(json.dumps(result, indent=2))
     print(f"[h2h] wrote {out}")
 
@@ -376,7 +441,7 @@ def main():
     rows = [("ours (py_psnode_tpu)", result["ours"])]
     if "torch_reference" in result:
         rows.append(("reference (torch)", result["torch_reference"]))
-    print(f"\n== {args.variant.upper()} head-to-head "
+    print(f"\n== {fam.upper()} head-to-head "
           f"(epochs={args.epochs}, T={args.steps}, h={args.hidden}) ==")
     for name, r in rows:
         f = r["final"]
