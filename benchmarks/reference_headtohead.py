@@ -47,9 +47,11 @@ REFERENCE = "/root/reference"
 
 # --------------------------------------------------------------------- data
 
-def make_data(workdir, variant, n_train, n_test, n_steps, seed):
+def make_data(workdir, variant, n_train, n_test, n_steps, seed,
+              dataset="default"):
     from py_psnode_tpu.data.synthetic import (
         generate_avr_samples,
+        generate_motor_dae_samples,
         generate_smib_dae_samples,
     )
     from py_psnode_tpu.data.schema import save_dae_samples, save_ode_samples
@@ -70,8 +72,9 @@ def make_data(workdir, variant, n_train, n_test, n_steps, seed):
                                             shared_events=True))
             save_ode_samples(workdir / f"{split}.npz", **d)
         else:
-            d = cast32(generate_smib_dae_samples(n, n_steps=n_steps, seed=s,
-                                                 shared_events=True))
+            gen = (generate_motor_dae_samples if dataset == "motor"
+                   else generate_smib_dae_samples)
+            d = cast32(gen(n, n_steps=n_steps, seed=s, shared_events=True))
             save_dae_samples(workdir / f"{split}.npz", **d)
         paths[split] = workdir / f"{split}.npz"
     return paths["training"], paths["testing"]
@@ -371,6 +374,10 @@ def main():
     ap.add_argument("--init", default="lecun",
                     help="init_style for our leg (lecun|torch)")
     ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--dataset", choices=["default", "motor"],
+                    default="default",
+                    help="DAE data family: SMIB generator (default) or the"
+                         " induction-motor load class")
     ap.add_argument("--cpu", action="store_true",
                     help="run our leg on the JAX CPU backend (use with"
                          " --no_fused; Pallas on CPU is interpret-mode slow)")
@@ -388,14 +395,15 @@ def main():
     enable_compile_cache()
 
     work = pathlib.Path(args.workdir or (REPO / "benchmarks" / "h2h_work"))
-    data_dir = work / f"data_{args.variant}"
+    ds_tag = "" if args.dataset == "default" else f"_{args.dataset}"
+    data_dir = work / f"data_{args.variant}{ds_tag}"
     train_npz, test_npz = make_data(
         data_dir, args.variant, args.n_train, args.n_test, args.steps,
-        args.seed,
+        args.seed, dataset=args.dataset,
     )
     print(f"[h2h] data written: {train_npz}", flush=True)
 
-    fam = f"{args.variant}_encode" if args.encode else args.variant
+    fam = (f"{args.variant}_encode" if args.encode else args.variant) + ds_tag
     result = {
         "variant": args.variant,
         "family": fam,

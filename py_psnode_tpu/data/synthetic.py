@@ -15,6 +15,11 @@ generates physically-meaningful samples in the same ``.npz`` schema
     ``v = [vx, vy]`` and injected current ``i = [ix, iy]``, with a fault-on /
     fault-clear disturbance. Unstable swings are truncated with the
     reference's ``-1`` time padding and zeroed mask.
+  * :func:`generate_motor_dae_samples` — the LOAD component class: a
+    third-order induction motor behind a line, voltage dip/recovery with
+    stall truncation.
+  * :func:`generate_composite_load_dae_samples` — composite ZIP + motor
+    load at one bus; the algebraic output is the total composite current.
 
 Event-stream convention (pinned to ``my_solvers.py:70-72,108-110``): the
 recorded stream holds the *pre-jump* (left-limit) value at an event index;
@@ -407,6 +412,179 @@ def generate_motor_dae_samples(
     )
 
 
+def generate_composite_load_dae_samples(
+    n_samples: int,
+    n_steps: int = 1001,
+    dt: float = 0.01,
+    seed: int = 0,
+    substeps: int = 10,
+    stall_cut: float = 0.5,
+    shared_events: bool = False,
+    zip_share=(0.2, 0.6),
+    zip_coeffs=(0.4, 0.3, 0.3),
+):
+    """Composite ZIP + induction-motor load — the standard composite-load
+    model class (static ZIP branch in parallel with the dynamic motor of
+    :func:`generate_motor_dae_samples` at one load bus behind line ``Xl``).
+    Covers the "loads" component class of the reference's domain
+    (``/root/reference/README.md:6``) in its composite form.
+
+    Physics added on top of the motor model:
+
+      * ZIP branch:  ``S_zip(V) = (P0 + jQ0)·(αz·|V|² + αi·|V| + αp)``,
+        drawing ``I_zip = conj(S_zip/V)``; coefficients ``(αz, αi, αp)``
+        are FIXED across samples (else the surrogate could not identify
+        them), while the ZIP size varies per sample via ``zip_share`` —
+        ``P0 = share·P_motor(s0)``, ``Q0 = P0·tanφ``, φ per sample.
+      * network:     ``V = Vinf − jXl·(I_m + I_zip)`` — implicit in ``V``
+        through ``|V|``; solved by damped fixed-point iteration (motor
+        branch eliminated linearly each sweep, so only the small
+        ``jXl·I_zip`` term iterates).
+
+    DAE sample roles: states ``x = [s, E'x, E'y]`` (motor internals),
+    exogenous ``z = [Tm0, P0, Q0]`` (per-sample constants identifying the
+    composition), algebraic input ``v = [vx, vy]`` (load-bus voltage),
+    algebraic output ``i = [ix, iy]`` — the TOTAL composite current
+    (motor + ZIP), which is the quantity a composite-load surrogate must
+    reproduce. Stalled motors are truncated with ``-1`` padding + zero
+    mask exactly as the pure-motor family.
+    """
+    rng = np.random.default_rng(seed)
+    N, T = n_samples, n_steps
+    t = np.arange(T) * dt
+    H = rng.uniform(0.4, 1.5, N)
+    t0p = rng.uniform(0.5, 1.5, N)
+    X = rng.uniform(2.5, 4.0, N)
+    Xp = rng.uniform(0.15, 0.30, N)
+    xl = rng.uniform(0.04, 0.12, N)
+    s0 = rng.uniform(0.005, 0.025, N)
+    gamma = rng.uniform(0.0, 2.0, N)
+    vinf_pre = rng.uniform(0.98, 1.04, N)
+    vinf_fault = rng.uniform(0.4, 0.75, N)
+    vinf_post = rng.uniform(0.92, 1.02, N)
+    share = rng.uniform(*zip_share, N)
+    tanphi = np.tan(np.arccos(rng.uniform(0.85, 0.98, N)))
+    az, ai, ap = zip_coeffs
+
+    f_idx, dur = _event_indices(rng, N, T, shared_events)
+    dur = np.maximum(dur // 2, 1)
+    c_idx = np.minimum(f_idx + np.maximum(dur, 1), T - 2)
+    t_f, t_c = f_idx * dt, c_idx * dt
+
+    r = xl / Xp  # line/transient reactance ratio (motor branch elimination)
+
+    def solve_bus(ep_c, vinf_, p0, q0, n_iter=40):
+        """Fixed-point for the load-bus voltage: the motor branch is linear
+        in V and eliminated exactly each sweep; only the ZIP current
+        iterates. Returns (V, I_motor, I_zip, Te)."""
+        iz = np.zeros_like(ep_c)
+        vc = np.asarray(vinf_, complex) + 0 * ep_c
+        for _ in range(n_iter):
+            vc_new = (vinf_ + r * ep_c - 1j * xl * iz) / (1.0 + r)
+            vm = np.abs(vc_new)
+            # |V| floor: the constant-P branch current diverges as V→0
+            sz = (p0 + 1j * q0) * (az * vm**2 + ai * vm + ap)
+            iz = np.conj(sz / np.where(vm < 0.05, 0.05, vc_new))
+            vc = vc_new
+        im = (vc - ep_c) / (1j * Xp)
+        te = (ep_c * np.conj(im)).real
+        return vc, im, iz, te
+
+    # joint equilibrium at slip s0: a·E' = c·(V−E') with c=(X−X')/X'
+    # (rotor EMF balance), alternated with the bus solve
+    a = 1.0 + 1j * s0 * OMEGA_B * t0p
+    c = (X - Xp) / Xp
+    ep = c * vinf_pre / (a + c)  # ZIP-free starting guess
+    p0 = np.zeros(N)
+    q0 = np.zeros(N)
+    for _ in range(60):
+        vc, im, _, te = solve_bus(ep, vinf_pre, p0, q0)
+        ep = c * vc / (a + c)
+        pm = (vc * np.conj(im)).real  # motor terminal power at equilibrium
+        p0 = share * np.maximum(pm, 1e-3)
+        q0 = p0 * tanphi
+    _, _, _, tm0 = solve_bus(ep, vinf_pre, p0, q0)
+
+    x = np.zeros((N, T, 3))
+    v = np.zeros((N, T, 2))
+    i = np.zeros((N, T, 2))
+    h = dt / substeps
+    slip = s0.copy()
+
+    def vinf_at(j, right_continuous):
+        op = np.less if right_continuous else np.less_equal
+        return np.where(
+            op(j, f_idx), vinf_pre, np.where(op(j, c_idx), vinf_fault, vinf_post)
+        )
+
+    for j in range(T):
+        vc, im, iz, _ = solve_bus(ep, vinf_at(j, right_continuous=False), p0, q0)
+        x[:, j, 0], x[:, j, 1], x[:, j, 2] = slip, ep.real, ep.imag
+        v[:, j, 0], v[:, j, 1] = vc.real, vc.imag
+        itot = im + iz
+        i[:, j, 0], i[:, j, 1] = itot.real, itot.imag
+        if j == T - 1:
+            break
+        vinf_rc = vinf_at(j, right_continuous=True)
+        for _ in range(substeps):
+            def f(s_, ep_):
+                _, im_, _, te_ = solve_bus(ep_, vinf_rc, p0, q0, n_iter=15)
+                tm = tm0 * (np.maximum(1.0 - s_, 0.0) / (1.0 - s0)) ** gamma
+                ds = (tm - te_) / (2.0 * H)
+                dep = (
+                    -1j * s_ * OMEGA_B * ep_
+                    - (ep_ - 1j * (X - Xp) * im_) / t0p
+                )
+                return ds, dep
+            k1 = f(slip, ep)
+            k2 = f(slip + 0.5 * h * k1[0], ep + 0.5 * h * k1[1])
+            k3 = f(slip + 0.5 * h * k2[0], ep + 0.5 * h * k2[1])
+            k4 = f(slip + h * k3[0], ep + h * k3[1])
+            slip = slip + (h / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            slip = np.minimum(slip, 1.0)
+            ep = ep + (h / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+
+    tt = np.broadcast_to(t[None, :], (N, T)).copy()
+    mask = np.ones((N, T, 1))
+    over = np.abs(x[:, :, 0]) > stall_cut
+    for n in np.nonzero(over.any(axis=1))[0]:
+        j0 = int(np.argmax(over[n]))
+        tt[n, j0:] = -1.0
+        mask[n, j0:] = 0.0
+
+    event_t = np.stack([t_f, t_c], axis=1)
+    zrow = np.stack([tm0, p0, q0], axis=-1)  # per-sample constants
+    z = np.broadcast_to(zrow[:, None, :], (N, T, 3)).copy()
+    z_jump = np.broadcast_to(zrow[:, None, :], (N, 2, 3)).copy()
+    v_jump = np.zeros((N, 2, 2))
+    for e, idx in enumerate((f_idx, c_idx)):
+        ep_at = (
+            x[np.arange(N), np.minimum(idx, T - 1), 1]
+            + 1j * x[np.arange(N), np.minimum(idx, T - 1), 2]
+        )
+        vinf_e = vinf_fault if e == 0 else vinf_post
+        vc, _, _, _ = solve_bus(ep_at, vinf_e, p0, q0)
+        v_jump[:, e, 0], v_jump[:, e, 1] = vc.real, vc.imag
+    return dict(
+        t=tt[:, :, None],
+        x=x,
+        z=z,
+        v=v,
+        i=i,
+        event_t=event_t,
+        z_jump=z_jump,
+        v_jump=v_jump,
+        mask=mask,
+        name=[
+            ("slip", "p.u."),
+            ("Epx", "p.u."),
+            ("Epy", "p.u."),
+            ("ix", "p.u."),
+            ("iy", "p.u."),
+        ],
+    )
+
+
 def write_avr_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
     """Write ``training.npz`` / ``testing.npz`` AVR (ODE) sample files."""
     import pathlib
@@ -440,5 +618,19 @@ def write_motor_dataset(dir_path, n_train=320, n_test=64, n_steps=1001, seed=0):
     d.mkdir(parents=True, exist_ok=True)
     for name, n, s in (("training", n_train, seed), ("testing", n_test, seed + 1)):
         data = generate_motor_dae_samples(n, n_steps=n_steps, seed=s)
+        save_dae_samples(d / f"{name}.npz", **data)
+    return d / "training.npz", d / "testing.npz"
+
+
+def write_composite_dataset(dir_path, n_train=320, n_test=64, n_steps=1001,
+                            seed=0):
+    """Write ``training.npz`` / ``testing.npz`` composite ZIP+motor load
+    (DAE) sample files."""
+    import pathlib
+
+    d = pathlib.Path(dir_path)
+    d.mkdir(parents=True, exist_ok=True)
+    for name, n, s in (("training", n_train, seed), ("testing", n_test, seed + 1)):
+        data = generate_composite_load_dae_samples(n, n_steps=n_steps, seed=s)
         save_dae_samples(d / f"{name}.npz", **data)
     return d / "training.npz", d / "testing.npz"

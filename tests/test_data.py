@@ -135,6 +135,64 @@ def test_motor_physics_and_truncation():
     assert (sh["event_t"] == sh["event_t"][0:1]).all()
 
 
+def test_composite_load_physics_and_truncation():
+    """Composite ZIP + motor load family — the implicit load-bus fixed
+    point must converge to a true equilibrium and the ZIP branch must
+    actually contribute."""
+    from py_psnode_tpu.data.synthetic import (
+        generate_composite_load_dae_samples,
+        generate_motor_dae_samples,
+    )
+
+    data = generate_composite_load_dae_samples(24, n_steps=201, seed=1)
+    x, v, i, z, t, mask = (data[k] for k in ("x", "v", "i", "z", "t", "mask"))
+    assert x.shape[-1] == 3 and z.shape[-1] == 3 and i.shape[-1] == 2
+    # pre-fault: the iterated joint equilibrium is stationary
+    np.testing.assert_allclose(x[:, 20, :], x[:, 0, :], atol=1e-8)
+    np.testing.assert_allclose(v[:, 20, :], v[:, 0, :], atol=1e-8)
+    # per-sample constants: z = [Tm0, P0, Q0] constant over time, P0 > 0,
+    # Q0/P0 = tan(phi) within the drawn power-factor band [0.85, 0.98]
+    assert (z == z[:, :1, :]).all()
+    p0, q0 = z[:, 0, 1], z[:, 0, 2]
+    assert (p0 > 0).all()
+    ratio = q0 / p0
+    assert (ratio > np.tan(np.arccos(0.985))).all()
+    assert (ratio < np.tan(np.arccos(0.845))).all()
+    # the ZIP branch contributes: total bus power exceeds the pure-motor
+    # family's at matched seed/scale on average (extra P0 drawn at the bus)
+    pure = generate_motor_dae_samples(24, n_steps=201, seed=1)
+    p_comp = (v[:, 0, 0] * i[:, 0, 0] + v[:, 0, 1] * i[:, 0, 1]).mean()
+    p_pure = (
+        pure["v"][:, 0, 0] * pure["i"][:, 0, 0]
+        + pure["v"][:, 0, 1] * pure["i"][:, 0, 1]
+    ).mean()
+    assert p_comp > p_pure
+    # dip decelerates every motor; trajectories finite; truncation contract
+    assert (x[:, :, 0].max(axis=1) > x[:, 0, 0] + 1e-4).all()
+    assert all(np.isfinite(a).all() for a in (x, v, i, z))
+    trunc = t[:, -1, 0] == -1.0
+    if trunc.any():
+        n = np.nonzero(trunc)[0][0]
+        j0 = np.argmax(t[n, :, 0] == -1.0)
+        assert (mask[n, j0:] == 0).all() and (mask[n, :j0] == 1).all()
+    # shared_events: one schedule for the whole file
+    sh = generate_composite_load_dae_samples(6, n_steps=101, seed=2,
+                                             shared_events=True)
+    assert (sh["event_t"] == sh["event_t"][0:1]).all()
+
+
+def test_composite_dataset_loads_as_dae_samples(tmp_path):
+    from py_psnode_tpu.data import write_composite_dataset
+
+    train_f, test_f = write_composite_dataset(
+        tmp_path, n_train=8, n_test=4, n_steps=41, seed=0
+    )
+    ds = DaeSamples.load(train_f)
+    assert ds.x.shape == (8, 41, 3)
+    assert ds.z.shape == (8, 41, 3)
+    assert ds.i.shape == (8, 41, 2)
+
+
 def test_motor_dataset_loads_as_dae_samples(tmp_path):
     from py_psnode_tpu.data import write_motor_dataset
 

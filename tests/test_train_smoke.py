@@ -426,6 +426,20 @@ def test_motor_dae_end_to_end(tmp_path):
     assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
 
 
+def test_composite_load_dae_end_to_end(tmp_path):
+    """The composite ZIP+motor load family (z_dim=3 per-sample-constant
+    inputs) trains end-to-end through the generic trainer."""
+    from py_psnode_tpu.data import write_composite_dataset
+
+    data = write_composite_dataset(tmp_path / "d", n_train=24, n_test=12,
+                                   n_steps=41, seed=0)
+    cfg = _cfg("dae_no_encode", data, tmp_path / "m", larger_than=None)
+    params, model_path = Trainer(cfg).train()
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = [float(e[0]) + float(e[1]) for e in hist["eval"]]
+    assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
+
+
 def test_motor_dae_fused_end_to_end(tmp_path):
     """Same family through the fused kernel pair (interpret mode on CPU)."""
     from py_psnode_tpu.data import write_motor_dataset
