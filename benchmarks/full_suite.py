@@ -136,18 +136,23 @@ def bench_config(
 
     v = get_variant(variant_name)
     rng = np.random.default_rng(0)
-    if data == "motor":
-        # REAL induction-motor load trajectories (the load component class);
+    if data in ("motor", "composite"):
+        # REAL load-class trajectories (induction motor / composite ZIP+motor);
         # substeps=1 — throughput depends on shapes, not data fidelity
-        from py_psnode_tpu.data.synthetic import generate_motor_dae_samples
+        from py_psnode_tpu.data.synthetic import (
+            generate_composite_load_dae_samples,
+            generate_motor_dae_samples,
+        )
 
-        m = generate_motor_dae_samples(B, n_steps=T, seed=0, substeps=1)
+        gen = (generate_composite_load_dae_samples if data == "composite"
+               else generate_motor_dae_samples)
+        m = gen(B, n_steps=T, seed=0, substeps=1)
         raw = {
             k: np.asarray(m[k], np.float32)
             for k in ("t", "x", "z", "v", "i", "event_t", "z_jump", "v_jump")
         }
         raw["mask"] = np.asarray(m["mask"], np.float32)
-        dims = (3, 1, 2, 2)
+        dims = (3, m["z"].shape[-1], 2, 2)
     else:
         dims = (2, 1, 2, 2) if v.kind == "dae" else (2, 2, 0, 0)
         raw = _batch(rng, B, T, dims, v.kind == "dae")
@@ -347,6 +352,7 @@ def main():
         ("5. Fleet IEEE-39 (fused)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True),
         # load-component class: REAL induction-motor trajectories (x_dim=3)
         ("5b. Fleet induction-motor load (fused)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True, None, "rollout", None, None, "motor"),
+        ("5c. Fleet composite ZIP+motor load (fused)", "dae_no_encode", 1024, Tfleet, 128, "rk4", True, None, "rollout", None, None, "composite"),
         # precision study (judge r1 item 7): XLA path with bf16 matmuls —
         # the fused Pallas kernels issue MXU-native dots with f32
         # accumulation already, so the context only moves the XLA path
