@@ -808,3 +808,494 @@ int psnode_dae_rollout(void* de_handle, void* ae_handle, void* init_handle,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental stepper — the TRUE PSOPS co-simulation contract: the host
+// simulator advances the surrogate ONE step per network solution step and
+// feeds back the bus voltage it just solved (the reference's TorchScript
+// modules are consumed exactly this way, /root/reference/README.md:45).
+// The rollout entry points above assume the whole input stream is known up
+// front; the stepper carries (all_initial, x_t, i_t) across calls instead.
+// Step semantics are identical to the rollouts (pinned by
+// tests/test_native_runtime.py stepper==rollout parity).
+// ---------------------------------------------------------------------------
+
+namespace psnode {
+
+enum class StepVariant { kOde, kDae, kOdeEnc, kDaeEnc, kCwOde, kCwDae };
+
+struct Stepper {
+  StepVariant variant;
+  Solver sv;
+  int B, xd, zd, vd, id;
+  // main-family nets
+  const Mlp* de = nullptr;
+  const Mlp* ae = nullptr;
+  const Mlp* init = nullptr;
+  const Mlp* xe = nullptr;
+  const Mlp* xdec = nullptr;
+  const Mlp* ze = nullptr;
+  const Mlp* ve = nullptr;
+  const Mlp* ie = nullptr;
+  const Mlp* idec = nullptr;
+  // channel-wise stacks (dynamics module + algebraic module)
+  CwStack cw_xe, cw_xdec, cw_xh_ext, cw_xh_head, cw_ze, cw_zh_ext;
+  CwStack cw_ae_xh_ext, cw_v_enc, cw_vh_ext, cw_yh_ext, cw_y_dec;
+  const Mlp* cw_vert = nullptr;
+  const Mlp* cw_yvert = nullptr;
+  int h = 0;   // latent width (encode / channel-wise families)
+  int zl = 0;  // latent z width (dae_encode: 0 when zd == 0, ref script4:73)
+  int d_u = 0, ae_in = 0;
+  // carried state
+  std::vector<float> all_init;  // [B, d_u]  (main)  /  f_init [B, C*h] (cw)
+  std::vector<float> x;         // [B, xd] raw or [B, h] / [B, xd*h] latent
+  std::vector<float> ih;        // [B, id] raw i  /  [B, h] latent i (dae_enc)
+  // scratch
+  std::vector<float> drive, feat, z_lat, v_lat, fz, fx, cw_feat, cw_dot;
+  bool ready = false;
+};
+
+// latent algebraic eval for dae_encode: ih = ae(cat(all_init, xh, zh, vh))
+static void stepper_eval_ae_latent(Stepper& s, const float* xh,
+                                   const float* zh, const float* vh,
+                                   float* out) {
+  const int B = s.B, h = s.h, zl = s.zl, d_u = s.d_u, ae_in = s.ae_in;
+  s.feat.resize(size_t(B) * ae_in);
+  for (int n = 0; n < B; ++n) {
+    float* fn = s.feat.data() + size_t(n) * ae_in;
+    const float* an = s.all_init.data() + size_t(n) * d_u;
+    for (int k = 0; k < d_u; ++k) fn[k] = an[k];
+    for (int k = 0; k < h; ++k) fn[d_u + k] = xh[size_t(n) * h + k];
+    for (int k = 0; k < zl; ++k) fn[d_u + h + k] = zh[size_t(n) * zl + k];
+    for (int k = 0; k < h; ++k) fn[d_u + h + zl + k] = vh[size_t(n) * h + k];
+  }
+  mlp_forward(*s.ae, s.feat.data(), out, B);
+}
+
+// raw algebraic eval for dae: i = ae(cat(all_init, x, z_t, v_t))
+static void stepper_eval_ae_raw(Stepper& s, const float* x, const float* zt,
+                                const float* vt, float* out) {
+  const int B = s.B, xd = s.xd, zd = s.zd, vd = s.vd;
+  const int d_u = s.d_u, ae_in = s.ae_in;
+  s.feat.resize(size_t(B) * ae_in);
+  for (int n = 0; n < B; ++n) {
+    float* fn = s.feat.data() + size_t(n) * ae_in;
+    const float* an = s.all_init.data() + size_t(n) * d_u;
+    for (int k = 0; k < d_u; ++k) fn[k] = an[k];
+    for (int k = 0; k < xd; ++k) fn[d_u + k] = x[size_t(n) * xd + k];
+    for (int k = 0; k < zd; ++k) fn[d_u + xd + k] = zt[size_t(n) * zd + k];
+    for (int k = 0; k < vd; ++k)
+      fn[d_u + xd + zd + k] = vt[size_t(n) * vd + k];
+  }
+  mlp_forward(*s.ae, s.feat.data(), out, B);
+}
+
+// channel-wise latent dynamics eval (mirrors cw_latent_rollout's closure;
+// s.fz must hold zh_ext(z_enc(z_prev)) before the step)
+static void stepper_cw_eval(Stepper& s, const float* xh_t, float* out) {
+  const int B = s.B, xd = s.xd, zd = s.zd, h = s.h;
+  const int C = xd + zd;
+  s.fx.resize(size_t(B) * xd * h);
+  s.cw_feat.resize(size_t(B) * 3 * C * h);
+  s.cw_dot.resize(size_t(B) * xd * h);
+  cw_forward(s.cw_xh_ext, xh_t, s.fx.data(), B);
+  for (int n = 0; n < B; ++n) {
+    float* fn = s.cw_feat.data() + size_t(n) * 3 * C * h;
+    const float* fxn = s.fx.data() + size_t(n) * xd * h;
+    const float* fzn = s.fz.data() + size_t(n) * zd * h;
+    const float* in_ = s.all_init.data() + size_t(n) * C * h;
+    memcpy(fn, fxn, sizeof(float) * xd * h);
+    memcpy(fn + size_t(xd) * h, fzn, sizeof(float) * zd * h);
+    memcpy(fn + size_t(C) * h, in_, sizeof(float) * C * h);
+    for (int k = 0; k < C * h; ++k) fn[2 * C * h + k] = fn[k] - in_[k];
+  }
+  vertical_forward(*s.cw_vert, s.cw_feat.data(), s.cw_dot.data(), B, 3 * C, h);
+  cw_forward(s.cw_xh_head, s.cw_dot.data(), out, B);
+}
+
+// channel-wise algebraic readout at one time point (mirrors
+// psnode_cw_dae_rollout's per-row loop)
+static void stepper_cw_readout(Stepper& s, const float* xh_t, const float* vt,
+                               float* i_out) {
+  const int B = s.B, xd = s.xd, vd = s.vd, id = s.id, h = s.h;
+  const int Ca = xd + vd;
+  std::vector<float> fxa(size_t(B) * xd * h), venc(size_t(B) * vd * h),
+      fva(size_t(B) * vd * h), feat_a(size_t(B) * Ca * h),
+      yh(size_t(B) * id * h), yh2(size_t(B) * id * h);
+  cw_forward(s.cw_ae_xh_ext, xh_t, fxa.data(), B);
+  cw_forward(s.cw_v_enc, vt, venc.data(), B);
+  cw_forward(s.cw_vh_ext, venc.data(), fva.data(), B);
+  for (int n = 0; n < B; ++n) {
+    float* fn = feat_a.data() + size_t(n) * Ca * h;
+    memcpy(fn, fxa.data() + size_t(n) * xd * h, sizeof(float) * xd * h);
+    memcpy(fn + size_t(xd) * h, fva.data() + size_t(n) * vd * h,
+           sizeof(float) * vd * h);
+  }
+  vertical_forward(*s.cw_yvert, feat_a.data(), yh.data(), B, Ca, h);
+  cw_forward(s.cw_yh_ext, yh.data(), yh2.data(), B);
+  cw_forward(s.cw_y_dec, yh2.data(), i_out, B);
+}
+
+}  // namespace psnode
+
+extern "C" {
+
+// Create a stepper. `handles` layout by variant:
+//   "ode":        [de]
+//   "dae":        [de, ae, init]
+//   "ode_encode": [de, x_encoder, x_decoder, z_encoder]
+//   "dae_encode": [de, ae, init, x_encoder, x_decoder,
+//                  z_encoder (null iff zd==0), v_encoder, i_encoder,
+//                  i_decoder]
+//   "cw_ode":     [de]
+//   "cw_dae":     [de, ae]
+// Events are the host's concern: apply a jump by passing post-jump z/v
+// values for the step that starts at the event time (ref
+// my_solvers.py:70-72,108-110 semantics, input-stream form).
+// Returns null on bad variant/solver/net/dims.
+void* psnode_stepper_create(const char* variant, const char* solver,
+                            void** handles, int n_handles, int B, int xd,
+                            int zd, int vd, int idim) {
+  using psnode::StepVariant;
+  auto s = std::make_unique<psnode::Stepper>();
+  std::string v(variant ? variant : "");
+  if (v == "ode") s->variant = StepVariant::kOde;
+  else if (v == "dae") s->variant = StepVariant::kDae;
+  else if (v == "ode_encode") s->variant = StepVariant::kOdeEnc;
+  else if (v == "dae_encode") s->variant = StepVariant::kDaeEnc;
+  else if (v == "cw_ode") s->variant = StepVariant::kCwOde;
+  else if (v == "cw_dae") s->variant = StepVariant::kCwDae;
+  else return nullptr;
+  if (!psnode::parse_solver(solver, s->sv)) return nullptr;
+  if (B <= 0 || xd <= 0) return nullptr;
+  s->B = B; s->xd = xd; s->zd = zd; s->vd = vd; s->id = idim;
+
+  auto need = [&](int n) { return n_handles >= n && handles; };
+  switch (s->variant) {
+    case StepVariant::kOde:
+      if (!need(1)) return nullptr;
+      s->de = find_net(handles[0], "x_dot/");
+      if (!s->de) return nullptr;
+      s->d_u = xd + zd;
+      break;
+    case StepVariant::kDae:
+      if (!need(3)) return nullptr;
+      s->de = find_net(handles[0], "x_dot/");
+      s->ae = find_net(handles[1], "i_calculator/");
+      s->init = find_net(handles[2], "init_fun/");
+      if (!s->de || !s->ae || !s->init) return nullptr;
+      s->d_u = xd + zd + vd + idim;
+      s->ae_in = s->d_u + xd + zd + vd;
+      break;
+    case StepVariant::kOdeEnc:
+      if (!need(4)) return nullptr;
+      s->de = find_net(handles[0], "x_dot/");
+      s->xe = find_net(handles[1], "net/");
+      s->xdec = find_net(handles[2], "net/");
+      s->ze = find_net(handles[3], "net/");
+      if (!s->de || !s->xe || !s->xdec || !s->ze) return nullptr;
+      s->h = int(s->xe->out_dim);
+      s->d_u = 2 * s->h;
+      break;
+    case StepVariant::kDaeEnc:
+      if (!need(9)) return nullptr;
+      s->de = find_net(handles[0], "x_dot/");
+      s->ae = find_net(handles[1], "i_calculator/");
+      s->init = find_net(handles[2], "init_fun/");
+      s->xe = find_net(handles[3], "net/");
+      s->xdec = find_net(handles[4], "net/");
+      s->ze = zd ? find_net(handles[5], "net/") : nullptr;
+      s->ve = find_net(handles[6], "net/");
+      s->ie = find_net(handles[7], "net/");
+      s->idec = find_net(handles[8], "net/");
+      if (!s->de || !s->ae || !s->init || !s->xe || !s->xdec || !s->ve ||
+          !s->ie || !s->idec || (zd && !s->ze))
+        return nullptr;
+      s->h = int(s->xe->out_dim);
+      s->zl = zd ? s->h : 0;
+      s->d_u = s->h + s->zl + s->h + s->h;
+      s->ae_in = s->d_u + s->h + s->zl + s->h;
+      break;
+    case StepVariant::kCwOde:
+    case StepVariant::kCwDae: {
+      if (!need(s->variant == StepVariant::kCwDae ? 2 : 1)) return nullptr;
+      auto* m = static_cast<psnode::Module*>(handles[0]);
+      if (!m) return nullptr;
+      if (!psnode::build_cw_stack(*m, "x_encoder", s->cw_xe) ||
+          !psnode::build_cw_stack(*m, "x_decoder", s->cw_xdec) ||
+          !psnode::build_cw_stack(*m, "xh_ext", s->cw_xh_ext) ||
+          !psnode::build_cw_stack(*m, "xh_dot_head", s->cw_xh_head) ||
+          !psnode::build_cw_stack(*m, "z_encoder", s->cw_ze) ||
+          !psnode::build_cw_stack(*m, "zh_ext", s->cw_zh_ext))
+        return nullptr;
+      auto vert = m->mlps.find("xh_dot_v/");
+      if (vert == m->mlps.end()) return nullptr;
+      s->cw_vert = &vert->second;
+      s->h = s->cw_xe.out_dim;
+      if (s->variant == StepVariant::kCwDae) {
+        auto* ma = static_cast<psnode::Module*>(handles[1]);
+        if (!ma) return nullptr;
+        if (!psnode::build_cw_stack(*ma, "xh_ext", s->cw_ae_xh_ext) ||
+            !psnode::build_cw_stack(*ma, "v_encoder", s->cw_v_enc) ||
+            !psnode::build_cw_stack(*ma, "vh_ext", s->cw_vh_ext) ||
+            !psnode::build_cw_stack(*ma, "yh_ext", s->cw_yh_ext) ||
+            !psnode::build_cw_stack(*ma, "y_decoder", s->cw_y_dec))
+          return nullptr;
+        auto yvert = ma->mlps.find("yh_func_v/");
+        if (yvert == ma->mlps.end()) return nullptr;
+        s->cw_yvert = &yvert->second;
+      }
+      break;
+    }
+  }
+  return s.release();
+}
+
+void psnode_stepper_free(void* st) {
+  delete static_cast<psnode::Stepper*>(st);
+}
+
+// Initialize at t0. Inputs are [B, dim] rows: `x0` (ignored for the DAE
+// families — the learned Init net produces it, ref script3:98/script4:126),
+// `z0`, `v0`/`i0` (DAE families only). Writes the surrogate's own initial
+// outputs to `x0_out` [B,xd] and `i0_out` [B,id] when non-null (DAE-encode:
+// x0_out is the RAW Init output, the ref's x_pred[0]=x0 overwrite :150).
+// Returns 0 ok, -1 bad args.
+int psnode_stepper_init(void* st, const float* x0, const float* z0,
+                        const float* v0, const float* i0, float* x0_out,
+                        float* i0_out) {
+  using psnode::StepVariant;
+  auto* s = static_cast<psnode::Stepper*>(st);
+  if (!s) return -1;
+  const int B = s->B, xd = s->xd, zd = s->zd, vd = s->vd, id = s->id;
+
+  switch (s->variant) {
+    case StepVariant::kOde: {
+      if (!x0 || (zd && !z0)) return -1;
+      s->all_init.assign(size_t(B) * s->d_u, 0.f);
+      s->x.assign(x0, x0 + size_t(B) * xd);
+      for (int n = 0; n < B; ++n) {
+        float* an = s->all_init.data() + size_t(n) * s->d_u;
+        for (int k = 0; k < xd; ++k) an[k] = x0[size_t(n) * xd + k];
+        for (int k = 0; k < zd; ++k) an[xd + k] = z0[size_t(n) * zd + k];
+      }
+      if (x0_out) memcpy(x0_out, x0, sizeof(float) * size_t(B) * xd);
+      break;
+    }
+    case StepVariant::kOdeEnc: {
+      if (!x0 || (zd && !z0)) return -1;
+      const int h = s->h;
+      s->x.assign(size_t(B) * h, 0.f);
+      psnode::mlp_forward(*s->xe, x0, s->x.data(), B);
+      s->z_lat.assign(size_t(B) * h, 0.f);
+      psnode::mlp_forward(*s->ze, z0, s->z_lat.data(), B);
+      s->all_init.assign(size_t(B) * s->d_u, 0.f);
+      for (int n = 0; n < B; ++n) {
+        float* an = s->all_init.data() + size_t(n) * s->d_u;
+        for (int k = 0; k < h; ++k) an[k] = s->x[size_t(n) * h + k];
+        for (int k = 0; k < h; ++k) an[h + k] = s->z_lat[size_t(n) * h + k];
+      }
+      if (x0_out) psnode::mlp_forward(*s->xdec, s->x.data(), x0_out, B);
+      break;
+    }
+    case StepVariant::kDae: {
+      if (!z0 || !v0 || !i0) return -1;
+      std::vector<float> buf(size_t(B) * (zd + vd + id));
+      for (int n = 0; n < B; ++n) {
+        float* bn = buf.data() + size_t(n) * (zd + vd + id);
+        for (int k = 0; k < zd; ++k) bn[k] = z0[size_t(n) * zd + k];
+        for (int k = 0; k < vd; ++k) bn[zd + k] = v0[size_t(n) * vd + k];
+        for (int k = 0; k < id; ++k) bn[zd + vd + k] = i0[size_t(n) * id + k];
+      }
+      s->x.assign(size_t(B) * xd, 0.f);
+      psnode::mlp_forward(*s->init, buf.data(), s->x.data(), B);
+      s->all_init.assign(size_t(B) * s->d_u, 0.f);
+      for (int n = 0; n < B; ++n) {
+        float* an = s->all_init.data() + size_t(n) * s->d_u;
+        const float* bn = buf.data() + size_t(n) * (zd + vd + id);
+        for (int k = 0; k < xd; ++k) an[k] = s->x[size_t(n) * xd + k];
+        for (int k = 0; k < zd + vd + id; ++k) an[xd + k] = bn[k];
+      }
+      s->ih.assign(size_t(B) * id, 0.f);
+      stepper_eval_ae_raw(*s, s->x.data(), z0, v0, s->ih.data());
+      if (x0_out) memcpy(x0_out, s->x.data(), sizeof(float) * size_t(B) * xd);
+      if (i0_out) memcpy(i0_out, s->ih.data(), sizeof(float) * size_t(B) * id);
+      break;
+    }
+    case StepVariant::kDaeEnc: {
+      if (!v0 || !i0 || (zd && !z0)) return -1;
+      const int h = s->h, zl = s->zl;
+      std::vector<float> buf(size_t(B) * (zd + vd + id));
+      for (int n = 0; n < B; ++n) {
+        float* bn = buf.data() + size_t(n) * (zd + vd + id);
+        for (int k = 0; k < zd; ++k) bn[k] = z0[size_t(n) * zd + k];
+        for (int k = 0; k < vd; ++k) bn[zd + k] = v0[size_t(n) * vd + k];
+        for (int k = 0; k < id; ++k) bn[zd + vd + k] = i0[size_t(n) * id + k];
+      }
+      std::vector<float> x0_raw(size_t(B) * xd);
+      psnode::mlp_forward(*s->init, buf.data(), x0_raw.data(), B);
+      s->x.assign(size_t(B) * h, 0.f);
+      psnode::mlp_forward(*s->xe, x0_raw.data(), s->x.data(), B);
+      s->z_lat.assign(size_t(B) * (zl ? zl : 1), 0.f);
+      if (zd) psnode::mlp_forward(*s->ze, z0, s->z_lat.data(), B);
+      s->v_lat.assign(size_t(B) * h, 0.f);
+      psnode::mlp_forward(*s->ve, v0, s->v_lat.data(), B);
+      std::vector<float> ih0(size_t(B) * h);
+      psnode::mlp_forward(*s->ie, i0, ih0.data(), B);
+      s->all_init.assign(size_t(B) * s->d_u, 0.f);
+      for (int n = 0; n < B; ++n) {
+        float* an = s->all_init.data() + size_t(n) * s->d_u;
+        for (int k = 0; k < h; ++k) an[k] = s->x[size_t(n) * h + k];
+        for (int k = 0; k < zl; ++k) an[h + k] = s->z_lat[size_t(n) * zl + k];
+        for (int k = 0; k < h; ++k)
+          an[h + zl + k] = s->v_lat[size_t(n) * h + k];
+        for (int k = 0; k < h; ++k)
+          an[h + zl + h + k] = ih0[size_t(n) * h + k];
+      }
+      s->ih.assign(size_t(B) * h, 0.f);
+      stepper_eval_ae_latent(*s, s->x.data(), s->z_lat.data(),
+                             s->v_lat.data(), s->ih.data());
+      if (x0_out)  // ref :150 — initial row is the RAW Init output
+        memcpy(x0_out, x0_raw.data(), sizeof(float) * size_t(B) * xd);
+      if (i0_out) psnode::mlp_forward(*s->idec, s->ih.data(), i0_out, B);
+      break;
+    }
+    case StepVariant::kCwOde:
+    case StepVariant::kCwDae: {
+      if (!x0 || (zd && !z0)) return -1;
+      const int h = s->h, C = xd + zd;
+      s->x.assign(size_t(B) * xd * h, 0.f);
+      psnode::cw_forward(s->cw_xe, x0, s->x.data(), B);
+      std::vector<float> zenc(size_t(B) * zd * h), fx0(size_t(B) * xd * h);
+      s->fz.assign(size_t(B) * zd * h, 0.f);
+      psnode::cw_forward(s->cw_xh_ext, s->x.data(), fx0.data(), B);
+      psnode::cw_forward(s->cw_ze, z0, zenc.data(), B);
+      psnode::cw_forward(s->cw_zh_ext, zenc.data(), s->fz.data(), B);
+      s->all_init.assign(size_t(B) * C * h, 0.f);
+      for (int n = 0; n < B; ++n) {
+        memcpy(s->all_init.data() + size_t(n) * C * h,
+               fx0.data() + size_t(n) * xd * h, sizeof(float) * xd * h);
+        memcpy(s->all_init.data() + (size_t(n) * C + xd) * h,
+               s->fz.data() + size_t(n) * zd * h, sizeof(float) * zd * h);
+      }
+      if (x0_out) psnode::cw_forward(s->cw_xdec, s->x.data(), x0_out, B);
+      if (s->variant == StepVariant::kCwDae && i0_out) {
+        if (!v0) return -1;
+        stepper_cw_readout(*s, s->x.data(), v0, i0_out);
+      }
+      break;
+    }
+  }
+  s->ready = true;
+  return 0;
+}
+
+// Advance one step of `dt`. Drive inputs (`z_prev` [, `v_prev`]) are the
+// values over [t, t+dt) — held constant across substeps (reference
+// semantics, my_fixed_grid.py:20-32); the algebraic output is evaluated at
+// t+dt with `z_next`/`v_next` (ref my_solvers.py:121). Writes the new
+// decoded state to `x_out` [B,xd] and (DAE families) the new algebraic
+// output to `i_out` [B,id]. Returns 0 ok, -1 bad args / not initialized.
+int psnode_stepper_step(void* st, float dt, const float* z_prev,
+                        const float* v_prev, const float* z_next,
+                        const float* v_next, float* x_out, float* i_out) {
+  using psnode::StepVariant;
+  auto* s = static_cast<psnode::Stepper*>(st);
+  if (!s || !s->ready) return -1;
+  const int B = s->B, xd = s->xd, zd = s->zd, vd = s->vd, id = s->id;
+
+  switch (s->variant) {
+    case StepVariant::kOde: {
+      if (zd && !z_prev) return -1;
+      psnode::DynEval f{s->de, s->all_init.data(), z_prev, B, xd, s->d_u, {}};
+      std::vector<float> x1(size_t(B) * xd);
+      psnode::explicit_step(f, s->sv, dt, s->x.data(), x1.data(), B * xd);
+      s->x.swap(x1);
+      if (x_out) memcpy(x_out, s->x.data(), sizeof(float) * size_t(B) * xd);
+      break;
+    }
+    case StepVariant::kOdeEnc: {
+      if (zd && !z_prev) return -1;
+      const int h = s->h;
+      s->z_lat.resize(size_t(B) * h);
+      psnode::mlp_forward(*s->ze, z_prev, s->z_lat.data(), B);
+      psnode::DynEval f{s->de, s->all_init.data(), s->z_lat.data(), B, h,
+                        s->d_u, {}};
+      std::vector<float> x1(size_t(B) * h);
+      psnode::explicit_step(f, s->sv, dt, s->x.data(), x1.data(), B * h);
+      s->x.swap(x1);
+      if (x_out) psnode::mlp_forward(*s->xdec, s->x.data(), x_out, B);
+      break;
+    }
+    case StepVariant::kDae: {
+      if (!z_prev || !v_prev || !z_next || !v_next) return -1;
+      s->drive.resize(size_t(B) * (zd + vd + id));
+      for (int n = 0; n < B; ++n) {
+        float* dn = s->drive.data() + size_t(n) * (zd + vd + id);
+        for (int k = 0; k < zd; ++k) dn[k] = z_prev[size_t(n) * zd + k];
+        for (int k = 0; k < vd; ++k) dn[zd + k] = v_prev[size_t(n) * vd + k];
+        for (int k = 0; k < id; ++k)
+          dn[zd + vd + k] = s->ih[size_t(n) * id + k];  // lagged i (:119)
+      }
+      psnode::DynEval f{s->de, s->all_init.data(), s->drive.data(), B, xd,
+                        s->d_u, {}};
+      std::vector<float> x1(size_t(B) * xd);
+      psnode::explicit_step(f, s->sv, dt, s->x.data(), x1.data(), B * xd);
+      s->x.swap(x1);
+      stepper_eval_ae_raw(*s, s->x.data(), z_next, v_next, s->ih.data());
+      if (x_out) memcpy(x_out, s->x.data(), sizeof(float) * size_t(B) * xd);
+      if (i_out) memcpy(i_out, s->ih.data(), sizeof(float) * size_t(B) * id);
+      break;
+    }
+    case StepVariant::kDaeEnc: {
+      if (!v_prev || !v_next || (zd && (!z_prev || !z_next))) return -1;
+      const int h = s->h, zl = s->zl;
+      s->z_lat.resize(size_t(B) * (zl ? zl : 1));
+      if (zd) psnode::mlp_forward(*s->ze, z_prev, s->z_lat.data(), B);
+      s->v_lat.resize(size_t(B) * h);
+      psnode::mlp_forward(*s->ve, v_prev, s->v_lat.data(), B);
+      s->drive.resize(size_t(B) * (zl + h + h));
+      for (int n = 0; n < B; ++n) {
+        float* dn = s->drive.data() + size_t(n) * (zl + h + h);
+        for (int k = 0; k < zl; ++k) dn[k] = s->z_lat[size_t(n) * zl + k];
+        for (int k = 0; k < h; ++k) dn[zl + k] = s->v_lat[size_t(n) * h + k];
+        for (int k = 0; k < h; ++k)
+          dn[zl + h + k] = s->ih[size_t(n) * h + k];  // lagged latent i
+      }
+      psnode::DynEval f{s->de, s->all_init.data(), s->drive.data(), B, h,
+                        s->d_u, {}};
+      std::vector<float> x1(size_t(B) * h);
+      psnode::explicit_step(f, s->sv, dt, s->x.data(), x1.data(), B * h);
+      s->x.swap(x1);
+      if (zd) psnode::mlp_forward(*s->ze, z_next, s->z_lat.data(), B);
+      psnode::mlp_forward(*s->ve, v_next, s->v_lat.data(), B);
+      stepper_eval_ae_latent(*s, s->x.data(), s->z_lat.data(),
+                             s->v_lat.data(), s->ih.data());
+      if (x_out) psnode::mlp_forward(*s->xdec, s->x.data(), x_out, B);
+      if (i_out) psnode::mlp_forward(*s->idec, s->ih.data(), i_out, B);
+      break;
+    }
+    case StepVariant::kCwOde:
+    case StepVariant::kCwDae: {
+      if (zd && !z_prev) return -1;
+      const int h = s->h;
+      std::vector<float> zenc(size_t(B) * zd * h);
+      psnode::cw_forward(s->cw_ze, z_prev, zenc.data(), B);
+      psnode::cw_forward(s->cw_zh_ext, zenc.data(), s->fz.data(), B);
+      std::vector<float> x1(size_t(B) * xd * h);
+      psnode::explicit_step_fn(
+          [&](const float* xh, float* out) { stepper_cw_eval(*s, xh, out); },
+          s->sv, dt, s->x.data(), x1.data(), B * xd * h);
+      s->x.swap(x1);
+      if (x_out) psnode::cw_forward(s->cw_xdec, s->x.data(), x_out, B);
+      if (s->variant == StepVariant::kCwDae && i_out) {
+        if (!v_next) return -1;
+        stepper_cw_readout(*s, s->x.data(), v_next, i_out);
+      }
+      break;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

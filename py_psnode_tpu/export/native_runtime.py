@@ -93,6 +93,22 @@ def _get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p, fp, fp,
         ]
         lib.psnode_cw_dae_rollout.restype = ctypes.c_int
+        lib.psnode_stepper_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.psnode_stepper_create.restype = ctypes.c_void_p
+        lib.psnode_stepper_free.argtypes = [ctypes.c_void_p]
+        lib.psnode_stepper_init.argtypes = [
+            ctypes.c_void_p, fp, fp, fp, fp, fp, fp,
+        ]
+        lib.psnode_stepper_init.restype = ctypes.c_int
+        lib.psnode_stepper_step.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, fp, fp, fp, fp, fp, fp,
+        ]
+        lib.psnode_stepper_step.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -319,3 +335,100 @@ def dae_rollout(de: NativeModule, ae: NativeModule, init: NativeModule,
     if rc != 0:
         raise RuntimeError(f"psnode_dae_rollout failed rc={rc}")
     return x_out, i_out
+
+
+class NativeStepper:
+    """Incremental per-step evaluation — the TRUE PSOPS co-simulation
+    contract: the host simulator advances the surrogate one step per network
+    solution step and feeds back the bus voltage it just solved (the role
+    the reference's TorchScript exports play inside PSOPS,
+    ``/root/reference/README.md:45``). The rollout helpers above need the
+    whole input stream up front; this carries ``(all_initial, x_t, i_t)``
+    across calls. Events are the host's concern: pass post-jump ``z``/``v``
+    for the step starting at the event time.
+
+    ``variant``: ``ode | dae | ode_encode | dae_encode | cw_ode | cw_dae``.
+    ``modules``: the same NativeModule handles, in the same order, as the
+    matching rollout helper (``dae_encode``'s z_encoder entry may be None
+    when ``zd == 0``).
+    """
+
+    def __init__(self, variant: str, modules, *, batch: int, x_dim: int,
+                 z_dim: int = 0, v_dim: int = 0, i_dim: int = 0,
+                 solver: str = "euler"):
+        lib = _get_lib()
+        self._lib = lib
+        self._modules = list(modules)  # keep handles alive
+        arr = (ctypes.c_void_p * len(self._modules))(
+            *[m._handle if m is not None else None for m in self._modules]
+        )
+        self.B, self.xd, self.zd = batch, x_dim, z_dim
+        self.vd, self.id = v_dim, i_dim
+        self._dae = variant in ("dae", "dae_encode", "cw_dae")
+        self._handle = lib.psnode_stepper_create(
+            variant.encode(), solver.encode(), arr, len(self._modules),
+            batch, x_dim, z_dim, v_dim, i_dim,
+        )
+        if not self._handle:
+            raise RuntimeError(
+                f"psnode_stepper_create failed for variant={variant!r} "
+                f"(check solver / module order / dims)"
+            )
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.psnode_stepper_free(self._handle)
+            self._handle = None
+
+    def _row(self, a, d, name):
+        # None passes through as a null pointer — the C side validates which
+        # inputs each variant actually requires (e.g. DAE families take no
+        # x0: the learned Init net produces it).
+        if a is None:
+            return None, None
+        a = np.ascontiguousarray(a, np.float32)
+        if a.shape != (self.B, d):
+            raise ValueError(f"{name}: expected {(self.B, d)}, got {a.shape}")
+        return a, _fptr(a)
+
+    def init(self, *, x0=None, z0=None, v0=None, i0=None):
+        """Initialize at t0; returns the surrogate's own initial outputs
+        ``x0_out [B, xd]`` (ODE families: the given/encoded x0; DAE
+        families: the learned Init output — DAE-encode keeps the ref's
+        x_pred[0]=raw-Init overwrite, script4:150) and, for DAE families,
+        ``i0_out [B, id]``."""
+        _x, px = self._row(x0, self.xd, "x0")
+        _z, pz = self._row(z0, self.zd, "z0")
+        _v, pv = self._row(v0, self.vd, "v0")
+        _i, pi = self._row(i0, self.id, "i0")
+        x_out = np.empty((self.B, self.xd), np.float32)
+        i_out = (np.empty((self.B, self.id), np.float32)
+                 if self._dae else None)
+        rc = self._lib.psnode_stepper_init(
+            self._handle, px, pz, pv, pi, _fptr(x_out),
+            _fptr(i_out) if i_out is not None else None,
+        )
+        if rc != 0:
+            raise RuntimeError(f"psnode_stepper_init failed rc={rc}")
+        return (x_out, i_out) if self._dae else x_out
+
+    def step(self, dt, *, z_prev=None, v_prev=None, z_next=None, v_next=None):
+        """Advance one step of ``dt``: drive inputs are held over the step
+        (reference semantics, my_fixed_grid.py:20-32); the algebraic output
+        is evaluated at t+dt with ``z_next``/``v_next``
+        (ref my_solvers.py:121). Returns ``x [B, xd]`` (and ``i [B, id]``
+        for DAE families)."""
+        _zp, pzp = self._row(z_prev, self.zd, "z_prev")
+        _vp, pvp = self._row(v_prev, self.vd, "v_prev")
+        _zn, pzn = self._row(z_next, self.zd, "z_next")
+        _vn, pvn = self._row(v_next, self.vd, "v_next")
+        x_out = np.empty((self.B, self.xd), np.float32)
+        i_out = (np.empty((self.B, self.id), np.float32)
+                 if self._dae else None)
+        rc = self._lib.psnode_stepper_step(
+            self._handle, ctypes.c_float(dt), pzp, pvp, pzn, pvn,
+            _fptr(x_out), _fptr(i_out) if i_out is not None else None,
+        )
+        if rc != 0:
+            raise RuntimeError(f"psnode_stepper_step failed rc={rc}")
+        return (x_out, i_out) if self._dae else x_out

@@ -398,3 +398,270 @@ def test_native_cw_dae_rollout_parity(native, tmp_path, rng, solver):
     np.testing.assert_allclose(
         np.swapaxes(i_got, 0, 1), i_ref, rtol=3e-4, atol=3e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental stepper — the PSOPS co-simulation contract: step-by-step
+# outputs must be identical to the batch rollouts (same C code paths), and
+# host-driven events (post-jump inputs fed per step) must match the JAX
+# model's own event handling.
+# ---------------------------------------------------------------------------
+
+
+def _grid(B, T, dt=0.02):
+    f32 = np.float32
+    return (np.cumsum(np.full((B, T, 1), dt, f32), axis=1) - dt).astype(f32)
+
+
+def test_stepper_ode_matches_rollout(native, tmp_path, rng):
+    from py_psnode_tpu.export.native_runtime import NativeStepper, ode_rollout
+    from py_psnode_tpu.models.funcs import DEFunc
+
+    B, T, xd, zd, h = 3, 11, 2, 2, 8
+    de_mod = DEFunc((h, h, h, xd))
+    feat = jnp.asarray(rng.normal(size=(B, 3 * (xd + zd))).astype(np.float32))
+    params = de_mod.init(
+        jax.random.PRNGKey(0), 0.0,
+        feat[:, : xd + zd], feat[:, :xd], feat[:, xd : xd + zd],
+    )
+    write_weights_bin(tmp_path / "de.weights.bin",
+                      flatten_params(params["params"]))
+    de = native(tmp_path / "de.weights.bin")
+
+    t = _grid(B, T)
+    x0 = rng.normal(size=(B, xd)).astype(np.float32)
+    z = rng.normal(size=(T, B, zd)).astype(np.float32)
+    for solver in ("euler", "midpoint", "rk4"):
+        ref = ode_rollout(de, t[0, :, 0], x0, z, solver=solver)
+        st = NativeStepper("ode", [de], batch=B, x_dim=xd, z_dim=zd,
+                           solver=solver)
+        got = [st.init(x0=x0, z0=z[0])]
+        for j in range(1, T):
+            got.append(st.step(t[0, j, 0] - t[0, j - 1, 0], z_prev=z[j - 1]))
+        np.testing.assert_array_equal(np.stack(got), ref)
+
+
+def test_stepper_dae_matches_rollout(native, tmp_path, rng):
+    from py_psnode_tpu.export.native_runtime import NativeStepper, dae_rollout
+    from py_psnode_tpu.models import DAEModel
+
+    B, T, xd, zd, vd, idim, h = 3, 10, 2, 1, 2, 2, 8
+    t = _grid(B, T)
+    x = rng.normal(size=(B, T, xd)).astype(np.float32)
+    z = rng.normal(size=(B, T, zd)).astype(np.float32)
+    v = rng.normal(size=(B, T, vd)).astype(np.float32)
+    i = rng.normal(size=(B, T, idim)).astype(np.float32)
+    model = DAEModel(x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, hidden_dim=h,
+                     solver="rk4")
+    args = tuple(jnp.asarray(a) for a in (t, x, z, v, i))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    p = params["params"]
+    mods = {}
+    for name in ("de_func", "ae_func", "init_func"):
+        write_weights_bin(tmp_path / f"{name}.weights.bin",
+                          flatten_params(p[name]))
+        mods[name] = native(tmp_path / f"{name}.weights.bin")
+
+    zt, vt = np.swapaxes(z, 0, 1), np.swapaxes(v, 0, 1)
+    x_ref, i_ref = dae_rollout(mods["de_func"], mods["ae_func"],
+                               mods["init_func"], t[0, :, 0], zt, vt,
+                               i[:, 0], solver="rk4")
+    st = NativeStepper(
+        "dae", [mods["de_func"], mods["ae_func"], mods["init_func"]],
+        batch=B, x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, solver="rk4",
+    )
+    x0_got, i0_got = st.init(z0=zt[0], v0=vt[0], i0=i[:, 0])
+    xs, is_ = [x0_got], [i0_got]
+    for j in range(1, T):
+        xj, ij = st.step(t[0, j, 0] - t[0, j - 1, 0],
+                         z_prev=zt[j - 1], v_prev=vt[j - 1],
+                         z_next=zt[j], v_next=vt[j])
+        xs.append(xj)
+        is_.append(ij)
+    np.testing.assert_array_equal(np.stack(xs), x_ref)
+    np.testing.assert_array_equal(np.stack(is_), i_ref)
+
+
+def test_stepper_ode_encode_matches_rollout(native, tmp_path, rng):
+    from py_psnode_tpu.export.native_runtime import (
+        NativeStepper,
+        ode_encode_rollout,
+    )
+    from py_psnode_tpu.models import ODEEncodeModel
+
+    B, T, xd, zd, h = 3, 9, 2, 2, 8
+    t = _grid(B, T)
+    x = rng.normal(size=(B, T, xd)).astype(np.float32)
+    z = rng.normal(size=(B, T, zd)).astype(np.float32)
+    model = ODEEncodeModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver="euler")
+    args = tuple(jnp.asarray(a) for a in (t, x, z))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    p = params["params"]
+    mods = {}
+    for name in ("de_func", "x_encoder", "x_decoder", "z_encoder"):
+        write_weights_bin(tmp_path / f"{name}.weights.bin",
+                          flatten_params(p[name]))
+        mods[name] = native(tmp_path / f"{name}.weights.bin")
+    zt = np.swapaxes(z, 0, 1)
+    ref = ode_encode_rollout(mods["de_func"], mods["x_encoder"],
+                             mods["x_decoder"], mods["z_encoder"],
+                             t[0, :, 0], x[:, 0], zt, solver="euler")
+    st = NativeStepper(
+        "ode_encode",
+        [mods["de_func"], mods["x_encoder"], mods["x_decoder"],
+         mods["z_encoder"]],
+        batch=B, x_dim=xd, z_dim=zd, solver="euler",
+    )
+    got = [st.init(x0=x[:, 0], z0=zt[0])]
+    for j in range(1, T):
+        got.append(st.step(t[0, j, 0] - t[0, j - 1, 0], z_prev=zt[j - 1]))
+    np.testing.assert_array_equal(np.stack(got), ref)
+
+
+@pytest.mark.parametrize("zd", [1, 0], ids=["z1", "z0"])
+def test_stepper_dae_encode_matches_rollout(native, tmp_path, rng, zd):
+    from py_psnode_tpu.export.native_runtime import (
+        NativeStepper,
+        dae_encode_rollout,
+    )
+    from py_psnode_tpu.models import DAEEncodeModel
+
+    B, T, xd, vd, idim, h = 3, 9, 2, 2, 2, 8
+    t = _grid(B, T)
+    x = rng.normal(size=(B, T, xd)).astype(np.float32)
+    z = rng.normal(size=(B, T, zd)).astype(np.float32)
+    v = rng.normal(size=(B, T, vd)).astype(np.float32)
+    i = rng.normal(size=(B, T, idim)).astype(np.float32)
+    model = DAEEncodeModel(x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim,
+                           hidden_dim=h, solver="rk4")
+    args = tuple(jnp.asarray(a) for a in (t, x, z, v, i))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    p = params["params"]
+    names = ["de_func", "ae_func", "init_func", "x_encoder", "x_decoder",
+             "v_encoder", "i_encoder", "i_decoder"]
+    if zd:
+        names.append("z_encoder")
+    mods = {}
+    for name in names:
+        write_weights_bin(tmp_path / f"{name}.weights.bin",
+                          flatten_params(p[name]))
+        mods[name] = native(tmp_path / f"{name}.weights.bin")
+    zt, vt = np.swapaxes(z, 0, 1), np.swapaxes(v, 0, 1)
+    x_ref, i_ref = dae_encode_rollout(
+        mods["de_func"], mods["ae_func"], mods["init_func"],
+        mods["x_encoder"], mods["x_decoder"], mods.get("z_encoder"),
+        mods["v_encoder"], mods["i_encoder"], mods["i_decoder"],
+        t[0, :, 0], zt, vt, i[:, 0], solver="rk4",
+    )
+    st = NativeStepper(
+        "dae_encode",
+        [mods["de_func"], mods["ae_func"], mods["init_func"],
+         mods["x_encoder"], mods["x_decoder"], mods.get("z_encoder"),
+         mods["v_encoder"], mods["i_encoder"], mods["i_decoder"]],
+        batch=B, x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim, solver="rk4",
+    )
+    x0_got, i0_got = st.init(z0=zt[0] if zd else None, v0=vt[0], i0=i[:, 0])
+    xs, is_ = [x0_got], [i0_got]
+    for j in range(1, T):
+        xj, ij = st.step(
+            t[0, j, 0] - t[0, j - 1, 0],
+            z_prev=zt[j - 1] if zd else None, v_prev=vt[j - 1],
+            z_next=zt[j] if zd else None, v_next=vt[j],
+        )
+        xs.append(xj)
+        is_.append(ij)
+    np.testing.assert_array_equal(np.stack(xs), x_ref)
+    np.testing.assert_array_equal(np.stack(is_), i_ref)
+
+
+def test_stepper_cw_families_match_rollouts(native, tmp_path, rng):
+    from py_psnode_tpu.export import flatten_channelwise
+    from py_psnode_tpu.export.native_runtime import (
+        NativeStepper,
+        cw_dae_rollout,
+        cw_ode_rollout,
+    )
+    from py_psnode_tpu.models import ChannelWiseDAEModel, ChannelWiseODEModel
+
+    B, T, xd, zd, vd, idim, h = 3, 8, 2, 1, 2, 2, 8
+    t = _grid(B, T)
+    x = rng.normal(size=(B, T, xd)).astype(np.float32)
+    z = rng.normal(size=(B, T, zd)).astype(np.float32)
+    v = rng.normal(size=(B, T, vd)).astype(np.float32)
+    i = rng.normal(size=(B, T, idim)).astype(np.float32)
+    zt, vt = np.swapaxes(z, 0, 1), np.swapaxes(v, 0, 1)
+
+    # channel-wise ODE
+    model = ChannelWiseODEModel(x_dim=xd, z_dim=zd, hidden_dim=h,
+                                solver="euler")
+    params = model.init(jax.random.PRNGKey(0),
+                        *(jnp.asarray(a) for a in (t, x, z)))
+    write_weights_bin(tmp_path / "cw_de.weights.bin",
+                      flatten_channelwise(params["params"]["de_func"]))
+    de = native(tmp_path / "cw_de.weights.bin")
+    ref = cw_ode_rollout(de, t[0, :, 0], x[:, 0], zt, solver="euler")
+    st = NativeStepper("cw_ode", [de], batch=B, x_dim=xd, z_dim=zd,
+                       solver="euler")
+    got = [st.init(x0=x[:, 0], z0=zt[0])]
+    for j in range(1, T):
+        got.append(st.step(t[0, j, 0] - t[0, j - 1, 0], z_prev=zt[j - 1]))
+    np.testing.assert_array_equal(np.stack(got), ref)
+
+    # channel-wise DAE
+    model = ChannelWiseDAEModel(x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim,
+                                hidden_dim=h, solver="euler")
+    params = model.init(jax.random.PRNGKey(0),
+                        *(jnp.asarray(a) for a in (t, x, z, v, i)))
+    p = params["params"]
+    for name in ("de_func", "ae_func"):
+        write_weights_bin(tmp_path / f"cwd_{name}.weights.bin",
+                          flatten_channelwise(p[name]))
+    de = native(tmp_path / "cwd_de_func.weights.bin")
+    ae = native(tmp_path / "cwd_ae_func.weights.bin")
+    x_ref, i_ref = cw_dae_rollout(de, ae, t[0, :, 0], x[:, 0], zt, vt, idim,
+                                  solver="euler")
+    st = NativeStepper("cw_dae", [de, ae], batch=B, x_dim=xd, z_dim=zd,
+                       v_dim=vd, i_dim=idim, solver="euler")
+    x0_got, i0_got = st.init(x0=x[:, 0], z0=zt[0], v0=vt[0])
+    xs, is_ = [x0_got], [i0_got]
+    for j in range(1, T):
+        xj, ij = st.step(t[0, j, 0] - t[0, j - 1, 0], z_prev=zt[j - 1],
+                         v_next=vt[j])
+        xs.append(xj)
+        is_.append(ij)
+    np.testing.assert_array_equal(np.stack(xs), x_ref)
+    np.testing.assert_array_equal(np.stack(is_), i_ref)
+
+
+def test_stepper_host_driven_events_match_jax_model(native, tmp_path, rng):
+    """Host-applied events (post-jump z fed per step, the PSOPS embedding
+    contract) == ODEModel's own event handling."""
+    from py_psnode_tpu.export.native_runtime import NativeStepper
+    from py_psnode_tpu.models import ODEModel
+
+    B, T, xd, zd, h = 3, 12, 2, 2, 8
+    t = _grid(B, T)
+    x = rng.normal(size=(B, T, xd)).astype(np.float32)
+    z = rng.normal(size=(B, T, zd)).astype(np.float32)
+    jump_idx = 5
+    event_t = np.broadcast_to(t[0, jump_idx, :], (B, 1)).astype(np.float32)
+    z_jump = rng.normal(size=(B, 1, zd)).astype(np.float32)
+    model = ODEModel(x_dim=xd, z_dim=zd, hidden_dim=h, solver="rk4")
+    args = tuple(jnp.asarray(a) for a in (t, x, z, event_t, z_jump))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    ref = np.asarray(model.apply(params, *args))  # [B, T, xd]
+
+    write_weights_bin(tmp_path / "de.weights.bin",
+                      flatten_params(params["params"]["de_func"]))
+    de = native(tmp_path / "de.weights.bin")
+    st = NativeStepper("ode", [de], batch=B, x_dim=xd, z_dim=zd, solver="rk4")
+    got = [st.init(x0=x[:, 0], z0=z[:, 0])]
+    for j in range(1, T):
+        # the host substitutes the post-jump z for the one step STARTING at
+        # the event time (ref my_solvers.py:70-72 exact semantics — later
+        # steps read the data stream again)
+        z_prev = z_jump[:, 0] if (j - 1) == jump_idx else z[:, j - 1]
+        got.append(st.step(t[0, j, 0] - t[0, j - 1, 0], z_prev=z_prev))
+    np.testing.assert_allclose(
+        np.swapaxes(np.stack(got), 0, 1), ref, rtol=2e-4, atol=2e-5
+    )
