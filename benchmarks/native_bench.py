@@ -91,6 +91,44 @@ def main():
         results.append(r)
         print(json.dumps(r))
 
+    # incremental stepper (closed-loop co-simulation contract): per-call
+    # latency of one solver step through psnode_stepper_step, including the
+    # ctypes boundary a Python host pays (a C++ host calls the symbol
+    # directly and skips that overhead)
+    from py_psnode_tpu.export.native_runtime import NativeStepper
+
+    for B, label, iters in ((1, "single component (co-sim stepper)", 5),
+                            (64, "component fleet (co-sim stepper)", 3)):
+        z = rng.normal(size=(T, B, zd)).astype(f32)
+        v = rng.normal(size=(T, B, vd)).astype(f32)
+        i0 = rng.normal(size=(B, idim)).astype(f32)
+
+        def run_stepper():
+            st = NativeStepper(
+                "dae", [mods["de_func"], mods["ae_func"], mods["init_func"]],
+                batch=B, x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim,
+                solver="rk4",
+            )
+            st.init(z0=z[0], v0=v[0], i0=i0)
+            for j in range(1, T):
+                st.step(0.01, z_prev=z[j - 1], v_prev=v[j - 1],
+                        z_next=z[j], v_next=v[j])
+
+        run_stepper()  # warmup
+        t0 = time.time()
+        for _ in range(iters):
+            run_stepper()
+        sec = (time.time() - t0) / iters
+        r = {
+            "name": f"native C++ DAE stepper, {label}",
+            "batch": B, "t_len": T, "hidden": h, "solver": "rk4",
+            "us_per_step_per_instance": round(sec / (T - 1) / B * 1e6, 2),
+            "traj_steps_per_sec": round(B * (T - 1) / sec, 1),
+            "host": "cpu x1 (incl. ctypes call overhead)",
+        }
+        results.append(r)
+        print(json.dumps(r))
+
     out = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAILS.json"
     if out.exists():
         d = json.loads(out.read_text())
