@@ -93,8 +93,43 @@ def bench_tpu_train_step(
     return best, B * (T - 1) / best, B * (T - 1) / median
 
 
+def _device_claim_ok(timeout_s=240):
+    """Bounded device-availability probe in a subprocess.
+
+    This machine's tunneled TPU pool can wedge its claim leg for hours after
+    an uncleanly killed chip process (see CLAUDE.md) — every jax.devices()
+    then hangs indefinitely. Probing in a killable child (a claim touch is
+    safe to time out; only killing mid-COMPILE wedges the pool) lets the
+    bench emit a parseable error line instead of hanging its caller forever.
+    Only engages for the tunneled backend; other platforms skip the probe.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("axon", ""):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     sys.path.insert(0, ".")
+    if not _device_claim_ok():
+        print(json.dumps({
+            "metric": "trajectory-steps/sec/chip (batched RK4 DAE train step, fused Pallas, B=64 T=1001 h=128)",
+            "value": 0.0,
+            "unit": "traj_steps/s",
+            "vs_baseline": 0.0,
+            "error": "TPU pool claim leg unresponsive (chip wedge, see "
+                     "CLAUDE.md); benchmark skipped to avoid hanging",
+        }))
+        return
     from py_psnode_tpu.cli.common import enable_compile_cache
 
     enable_compile_cache()
