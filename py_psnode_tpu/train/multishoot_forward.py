@@ -13,7 +13,14 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 
-from py_psnode_tpu.models.funcs import AEFunc, Codec, DEFunc, InitFunc
+from py_psnode_tpu.models.funcs import (
+    AEFunc,
+    ChannelWiseAEFunc,
+    ChannelWiseDEFunc,
+    Codec,
+    DEFunc,
+    InitFunc,
+)
 from py_psnode_tpu.solvers import event_match, jumped_stream
 from py_psnode_tpu.solvers.multishoot import (
     _window_fold,
@@ -511,3 +518,126 @@ def fused_multishoot_dae_apply(
     ends = x_sol_w[-1].reshape(K, B, -1)[:-1]
     next_starts = x0w.reshape(K, B, -1)[1:]
     return (_tm(x_solution), _tm(i_solution)), ends - next_starts
+
+
+# --------------------------------------------------------------------------
+# Channel-wise family (per-channel latent [B, xd, h], repaired
+# neural_base.py:68-133/199-255 design). Multi-shooting windows start from
+# the per-channel-ENCODED true states — latent teacher forcing, same pattern
+# as the direct-encode variants — and the latent state folds into the batch
+# axis flattened to [B, xd*h] so the generic window machinery applies.
+# Routed through the XLA path for both TrainConfig.fused settings: the fused
+# channel-wise kernel ties the XLA scan on-chip (ACCURACY.md, cw probes), so
+# there is no fused multishoot counterpart to prefer.
+# --------------------------------------------------------------------------
+
+
+def _cw_prep(params, batch, x_dim, z_dim, hidden_dim, channel_impl):
+    """Shared channel-wise preamble: method closures over the de_func
+    params, latent true-state stream (window starts), global t=0 feature
+    conditioning, scan-invariant z-features of the jumped input stream."""
+    de = ChannelWiseDEFunc(
+        x_dim=x_dim, z_dim=z_dim, hidden_dim=hidden_dim, impl=channel_impl
+    )
+    pde = {"params": params["params"]["de_func"]}
+
+    def call(method, *a):
+        return de.apply(pde, *a, method=method)
+
+    is_event, e_idx = event_match(batch["t"], batch.get("event_t"))
+    z_used = jumped_stream(batch["z"], batch.get("z_jump"), is_event, e_idx)
+    tT = _tm(batch["t"])
+    xh_true = call("encode_x", _tm(batch["x"]))  # [T, B, xd, h]
+    # global t=0 conditioning from RAW z (the model reads _tm(z)[0])
+    f_init = call("features_of", xh_true[0], _tm(batch["z"])[0])
+    fz = call("z_features", _tm(z_used)[:-1])  # [T-1, B, zd, h]
+    return call, tT, xh_true, f_init, fz
+
+
+def _multishoot_cw_latent(params, batch, x_dim, z_dim, hidden_dim, n_windows,
+                          solver, remat, unroll, channel_impl):
+    """Windowed latent solve shared by both channel-wise variants. The
+    ``[B, xd, h]`` latent state folds into the generic window machinery
+    flattened to ``[B, xd*h]``. Returns ``(call, xh_sol [T,B,xd,h], gaps)``.
+    """
+    h = hidden_dim
+    call, tT, xh_true, f_init, fz = _cw_prep(
+        params, batch, x_dim, z_dim, h, channel_impl
+    )
+    T, B = tT.shape[0], tT.shape[1]
+    K = n_windows
+    _check_windows(T, K)
+    f_init_f = jnp.tile(f_init, (K, 1, 1))
+
+    def de_fn(tt, xx, zz):
+        dot = call(
+            "dyn", f_init_f, xx.reshape(-1, x_dim, h), zz.reshape(-1, z_dim, h)
+        )
+        return dot.reshape(xx.shape)
+
+    xh_sol_flat, gaps = multishoot_ode(
+        solver, de_fn, tT, xh_true.reshape(T, B, x_dim * h),
+        fz.reshape(T - 1, B, z_dim * h), K, remat=remat, unroll=unroll,
+    )
+    return call, xh_sol_flat.reshape(T, B, x_dim, h), gaps
+
+
+def multishoot_cw_ode_apply(
+    params: Dict,
+    batch: Dict,
+    x_dim: int,
+    z_dim: int,
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    remat=True,
+    unroll: int = 1,
+    channel_impl: str = "einsum",
+):
+    """Multi-shooting for the channel-wise ODE.
+
+    Returns ``((x_pred [B,T,xd], x_re), gaps [K-1, B, xd*h])`` — the
+    ``ChannelWiseODEModel.__call__`` output contract plus latent gaps.
+    """
+    call, xh_sol, gaps = _multishoot_cw_latent(
+        params, batch, x_dim, z_dim, hidden_dim, n_windows,
+        solver, remat, unroll, channel_impl,
+    )
+    x_pred = call("decode_x", xh_sol)  # [T, B, xd]
+    x_re = call("decode_x", call("encode_x", batch["x"]))  # [B, T, xd]
+    return (_tm(x_pred), x_re), gaps
+
+
+def multishoot_cw_dae_apply(
+    params: Dict,
+    batch: Dict,
+    dims: Tuple[int, int, int, int],
+    hidden_dim: int,
+    n_windows: int,
+    solver: str = "euler",
+    remat=True,
+    unroll: int = 1,
+    channel_impl: str = "einsum",
+):
+    """Multi-shooting for the channel-wise DAE: the dynamics are the latent
+    ODE above (no algebraic feedback in this family, ref neural_base.py:110)
+    and the channel-wise algebraic readout runs decoupled over the stitched
+    latent solution with RAW ``v`` (matching ``ChannelWiseDAEModel``).
+
+    Returns ``((x_pred, i_pred, x_re), gaps [K-1, B, xd*h])``.
+    """
+    xd, zd, vd, idim = dims
+    h = hidden_dim
+    call, xh_sol, gaps = _multishoot_cw_latent(
+        params, batch, xd, zd, h, n_windows, solver, remat, unroll,
+        channel_impl,
+    )
+    x_pred = call("decode_x", xh_sol)  # [T, B, xd]
+    x_re = call("decode_x", call("encode_x", batch["x"]))  # [B, T, xd]
+    ae = ChannelWiseAEFunc(
+        x_dim=xd, v_dim=vd, i_dim=idim, hidden_dim=h, impl=channel_impl
+    )
+    i_pred = ae.apply(
+        {"params": params["params"]["ae_func"]}, xh_sol, _tm(batch["v"])
+    )  # [T, B, id]
+    return (_tm(x_pred), _tm(i_pred), x_re), gaps

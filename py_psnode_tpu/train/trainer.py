@@ -414,8 +414,24 @@ class Trainer:
                 p, b, dims, model.hidden_dim, cfg.n_windows,
                 solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
             )
+        if variant.name == "ode_channelwise":
+            # XLA path for both fused settings: the fused channel-wise
+            # kernel ties the XLA scan on-chip (ACCURACY.md), so there is
+            # no fused multishoot counterpart to prefer
+            return lambda p, b: MS.multishoot_cw_ode_apply(
+                p, b, model.x_dim, model.z_dim, model.hidden_dim,
+                cfg.n_windows, solver=model.solver, remat=cfg.remat,
+                unroll=cfg.unroll, channel_impl=model.channel_impl,
+            )
+        if variant.name == "dae_channelwise":
+            dims = (model.x_dim, model.z_dim, model.v_dim, model.i_dim)
+            return lambda p, b: MS.multishoot_cw_dae_apply(
+                p, b, dims, model.hidden_dim, cfg.n_windows,
+                solver=model.solver, remat=cfg.remat, unroll=cfg.unroll,
+                channel_impl=model.channel_impl,
+            )
         raise ValueError(
-            f"multi-shooting supports the main four variants, not {variant.name}"
+            f"multi-shooting has no forward for variant {variant.name}"
         )
 
     def _make_train_step(self, model, tx, device_data=None):

@@ -341,3 +341,91 @@ def test_tile_batch():
     out = tile_batch(a, 2)
     assert out.shape == (4, 3)
     np.testing.assert_array_equal(np.array(out[2]), np.array(a[0]))
+
+
+def _cw_setup(rng, kind, B=3, T=9, xd=2, zd=1, vd=2, idim=2, h=8,
+              solver="euler"):
+    from py_psnode_tpu.models import ChannelWiseDAEModel, ChannelWiseODEModel
+
+    f32 = np.float32
+    t = (np.cumsum(np.full((B, T, 1), 0.02, f32), axis=1) - 0.02).astype(f32)
+    event_t = np.full((B, 2), -1.0, f32)
+    for b in range(B):
+        event_t[b, 0] = t[b, 2 + b % 3, 0]
+    batch = dict(
+        t=jnp.asarray(t),
+        x=jnp.asarray(rng.normal(size=(B, T, xd)).astype(f32)),
+        z=jnp.asarray(rng.normal(size=(B, T, zd)).astype(f32)),
+        event_t=jnp.asarray(event_t),
+        z_jump=jnp.asarray(rng.normal(size=(B, 2, zd)).astype(f32)),
+    )
+    if kind == "dae":
+        batch.update(
+            v=jnp.asarray(rng.normal(size=(B, T, vd)).astype(f32)),
+            i=jnp.asarray(rng.normal(size=(B, T, idim)).astype(f32)),
+            v_jump=jnp.asarray(rng.normal(size=(B, 2, vd)).astype(f32)),
+        )
+        model = ChannelWiseDAEModel(x_dim=xd, z_dim=zd, v_dim=vd, i_dim=idim,
+                                    hidden_dim=h, solver=solver)
+        keys = ("t", "x", "z", "v", "i", "event_t", "z_jump", "v_jump")
+    else:
+        model = ChannelWiseODEModel(x_dim=xd, z_dim=zd, hidden_dim=h,
+                                    solver=solver)
+        keys = ("t", "x", "z", "event_t", "z_jump")
+    args = tuple(batch[k] for k in keys)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    return model, params, batch, args
+
+
+def test_multishoot_cw_ode_k1_equals_model(rng):
+    """K=1 channel-wise multishoot == the plain ChannelWiseODEModel forward
+    (window 0 starts from the per-channel-encoded true x0, exactly like the
+    model)."""
+    from py_psnode_tpu.train.multishoot_forward import multishoot_cw_ode_apply
+
+    model, params, batch, args = _cw_setup(rng, "ode")
+    x_ref, xre_ref = model.apply(params, *args)
+    (x_ms, xre_ms), gaps = multishoot_cw_ode_apply(
+        params, batch, 2, 1, 8, 1, solver="euler", remat=False
+    )
+    assert gaps.shape[0] == 0
+    np.testing.assert_allclose(np.asarray(x_ms), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xre_ms), np.asarray(xre_ref),
+                               rtol=1e-6)
+
+
+def test_multishoot_cw_dae_k1_equals_model(rng):
+    from py_psnode_tpu.train.multishoot_forward import multishoot_cw_dae_apply
+
+    model, params, batch, args = _cw_setup(rng, "dae")
+    x_ref, i_ref, xre_ref = model.apply(params, *args)
+    (x_ms, i_ms, xre_ms), gaps = multishoot_cw_dae_apply(
+        params, batch, (2, 1, 2, 2), 8, 1, solver="euler", remat=False
+    )
+    assert gaps.shape[0] == 0
+    np.testing.assert_allclose(np.asarray(x_ms), np.asarray(x_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i_ms), np.asarray(i_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xre_ms), np.asarray(xre_ref),
+                               rtol=1e-6)
+
+
+def test_multishoot_cw_windows_reduce_gaps_grad(rng):
+    """K>1 channel-wise multishoot: gaps exist, and a gap-penalized loss
+    differentiates end to end (the training contract)."""
+    from py_psnode_tpu.train.multishoot_forward import multishoot_cw_ode_apply
+
+    model, params, batch, args = _cw_setup(rng, "ode")
+
+    def loss(p):
+        (x_pred, x_re), gaps = multishoot_cw_ode_apply(
+            p, batch, 2, 1, 8, 4, solver="euler", remat=False
+        )
+        return jnp.sum(x_pred**2) + jnp.sum(x_re**2) + jnp.sum(gaps**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)

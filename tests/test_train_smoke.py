@@ -257,6 +257,22 @@ def test_channelwise_dae_end_to_end(smib_data, tmp_path):
     assert evals[-1] < evals[0], f"eval loss did not decrease: {evals}"
 
 
+def test_channelwise_multishoot_end_to_end(avr_data, smib_data, tmp_path):
+    """Multi-shooting (windows folded into batch) through the trainer for
+    BOTH channel-wise variants — completes the multishoot matrix to all six
+    model families."""
+    for variant, data in (("ode_channelwise", avr_data),
+                          ("dae_channelwise", smib_data)):
+        cfg = _cfg(variant, data, tmp_path / f"ms_{variant}",
+                   larger_than=None, n_windows=2, gap_weight=0.3)
+        params, model_path = Trainer(cfg).train()
+        hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+        evals = (_loss_series(hist["eval"]) if variant.startswith("ode")
+                 else [float(e[0]) + float(e[1]) for e in hist["eval"]])
+        assert np.isfinite(evals).all()
+        assert evals[-1] < evals[0], f"{variant}: loss did not decrease: {evals}"
+
+
 def test_channelwise_fused_and_blockdiag_match_einsum(avr_data, tmp_path):
     """TrainConfig.fused routes the channel-wise forward through the pallas
     kernel (interpret mode on CPU) and channel_impl='blockdiag' evaluates
