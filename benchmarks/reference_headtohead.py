@@ -51,6 +51,7 @@ def make_data(workdir, variant, n_train, n_test, n_steps, seed,
               dataset="default"):
     from py_psnode_tpu.data.synthetic import (
         generate_avr_samples,
+        generate_composite_load_dae_samples,
         generate_motor_dae_samples,
         generate_smib_dae_samples,
     )
@@ -72,8 +73,10 @@ def make_data(workdir, variant, n_train, n_test, n_steps, seed,
                                             shared_events=True))
             save_ode_samples(workdir / f"{split}.npz", **d)
         else:
-            gen = (generate_motor_dae_samples if dataset == "motor"
-                   else generate_smib_dae_samples)
+            gen = {
+                "motor": generate_motor_dae_samples,
+                "composite": generate_composite_load_dae_samples,
+            }.get(dataset, generate_smib_dae_samples)
             d = cast32(gen(n, n_steps=n_steps, seed=s, shared_events=True))
             save_dae_samples(workdir / f"{split}.npz", **d)
         paths[split] = workdir / f"{split}.npz"
@@ -374,10 +377,11 @@ def main():
     ap.add_argument("--init", default="lecun",
                     help="init_style for our leg (lecun|torch)")
     ap.add_argument("--skip_torch", action="store_true")
-    ap.add_argument("--dataset", choices=["default", "motor"],
+    ap.add_argument("--dataset", choices=["default", "motor", "composite"],
                     default="default",
-                    help="DAE data family: SMIB generator (default) or the"
-                         " induction-motor load class")
+                    help="DAE data family: SMIB generator (default), the"
+                         " induction-motor load class, or the composite"
+                         " ZIP+motor load")
     ap.add_argument("--cpu", action="store_true",
                     help="run our leg on the JAX CPU backend (use with"
                          " --no_fused; Pallas on CPU is interpret-mode slow)")
