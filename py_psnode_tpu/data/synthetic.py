@@ -478,7 +478,6 @@ def generate_composite_load_dae_samples(
         in V and eliminated exactly each sweep; only the ZIP current
         iterates. Returns (V, I_motor, I_zip, Te)."""
         iz = np.zeros_like(ep_c)
-        vc = np.asarray(vinf_, complex) + 0 * ep_c
         for _ in range(n_iter):
             vc_new = (vinf_ + r * ep_c - 1j * xl * iz) / (1.0 + r)
             vm = np.abs(vc_new)
