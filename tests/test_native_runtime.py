@@ -665,3 +665,41 @@ def test_stepper_host_driven_events_match_jax_model(native, tmp_path, rng):
     np.testing.assert_allclose(
         np.swapaxes(np.stack(got), 0, 1), ref, rtol=2e-4, atol=2e-5
     )
+
+
+def test_stepper_error_contract(native, tmp_path, rng):
+    """Bad variant/solver/handle-count/shape inputs fail loudly instead of
+    corrupting state — the host-simulator embedding contract."""
+    from py_psnode_tpu.export.native_runtime import NativeStepper
+    from py_psnode_tpu.models.funcs import DEFunc
+
+    xd, zd, h, B = 2, 2, 8, 3
+    de_mod = DEFunc((h, h, xd))
+    feat = jnp.asarray(rng.normal(size=(B, 3 * (xd + zd))).astype(np.float32))
+    params = de_mod.init(
+        jax.random.PRNGKey(0), 0.0,
+        feat[:, : xd + zd], feat[:, :xd], feat[:, xd : xd + zd],
+    )
+    write_weights_bin(tmp_path / "de_err.weights.bin",
+                      flatten_params(params["params"]))
+    de = native(tmp_path / "de_err.weights.bin")
+
+    with pytest.raises(RuntimeError, match="stepper_create"):
+        NativeStepper("nope", [de], batch=B, x_dim=xd, z_dim=zd)
+    with pytest.raises(RuntimeError, match="stepper_create"):
+        NativeStepper("ode", [de], batch=B, x_dim=xd, z_dim=zd,
+                      solver="cromer")
+    with pytest.raises(RuntimeError, match="stepper_create"):
+        # DAE needs three modules
+        NativeStepper("dae", [de], batch=B, x_dim=xd, z_dim=zd, v_dim=1,
+                      i_dim=1)
+
+    st = NativeStepper("ode", [de], batch=B, x_dim=xd, z_dim=zd)
+    with pytest.raises(ValueError, match="expected"):
+        st.init(x0=np.zeros((B, xd + 1), np.float32),
+                z0=np.zeros((B, zd), np.float32))
+    with pytest.raises(RuntimeError, match="stepper_init"):
+        st.init(x0=None, z0=np.zeros((B, zd), np.float32))  # ODE needs x0
+    # step before a successful init → -1
+    with pytest.raises(RuntimeError, match="stepper_step"):
+        st.step(0.01, z_prev=np.zeros((B, zd), np.float32))
