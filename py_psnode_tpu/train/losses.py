@@ -144,10 +144,17 @@ def dae_channelwise_loss(outputs, batch):
 
 def robust_time_series_loss(loss: jnp.ndarray, limit_loss=None):
     """Branchless equivalent of ``Losses.multi_time_series_loss``
-    (ref utils.py:29-42): NaN → zero-gradient zero; elementwise losses above
-    1 are replaced by gradient-direction-preserving normalized values
-    ``loss / stop_grad(loss)``; with ``limit_loss`` set, the normalization
-    only kicks in when some element exceeds it.
+    (ref utils.py:29-42), quirks included: with ``limit_loss`` unset, EVERY
+    element >= 1e-6 is replaced by its gradient-direction-preserving
+    normalization ``loss / stop_grad(loss)`` (i.e. pinned to 1.0 in value);
+    with ``limit_loss`` set, the raw sum passes through only in the band
+    where some element exceeds 1 but none exceeds the limit. NaN anywhere
+    → zero-gradient zero.
+
+    This is the verbatim parity surface. Because the always-normalize
+    branch degenerates a SCALAR training loss, ``TrainConfig.robust_loss``
+    wires a scalar adaptation instead (normalize only above
+    ``robust_limit``, see trainer.py) rather than calling this function.
 
     The reference logs the anomaly; here the caller can detect it via the
     returned flag.

@@ -89,9 +89,9 @@ class TrainConfig:
     # opt-in robust-loss guard wrapping the variant loss (the reference
     # instantiates Losses.multi_time_series_loss but never calls it, ref
     # utils.py:29-42 / script3:375): NaN → zero-gradient zero loss; a loss
-    # above 1 is replaced by its gradient-direction-preserving normalization
-    # loss/stop_grad(loss) (with robust_limit set, only once the loss
-    # exceeds it). Trips are logged per record window as robust_tripped.
+    # above robust_limit (default 1.0) is replaced by its gradient-
+    # direction-preserving normalization loss/stop_grad(loss). Trips are
+    # logged per record window as robust_tripped.
     robust_loss: bool = False
     robust_limit: Optional[float] = None
     # fused-kernel scheduling knobs (None = keep module defaults; see
@@ -462,14 +462,25 @@ class Trainer:
                 return variant.loss_fn(out, batch)
 
         if cfg.robust_loss:
-            from py_psnode_tpu.train.losses import robust_time_series_loss
-
             base_loss_of = loss_of
+            # Scalar-loss adaptation of the reference's never-wired guard
+            # (ref utils.py:29-42). The per-element form pins EVERY loss in
+            # [1e-6, 1] to 1.0 when no limit is set — degenerate for the
+            # scalar training loss — so here the direction-preserving
+            # normalization loss/stop_grad(loss) engages only above
+            # robust_limit (default 1.0), and NaN still takes a
+            # zero-gradient zero step. The verbatim per-element guard
+            # remains available as losses.robust_time_series_loss.
+            robust_limit = 1.0 if cfg.robust_limit is None else float(cfg.robust_limit)
 
             def loss_of(params, batch):
                 loss, aux = base_loss_of(params, batch)
-                rloss, nan = robust_time_series_loss(loss, cfg.robust_limit)
-                tripped = jnp.logical_or(nan, rloss != loss)
+                nan = jnp.isnan(loss)
+                safe = jnp.where(nan, 0.0, loss)
+                over = safe > robust_limit
+                denom = jax.lax.stop_gradient(jnp.where(over, safe, 1.0))
+                rloss = jnp.where(nan, 0.0, jnp.where(over, safe / denom, safe))
+                tripped = jnp.logical_or(nan, over)
                 aux = dict(aux, robust_tripped=tripped.astype(jnp.float32))
                 return rloss, aux
 

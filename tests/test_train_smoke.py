@@ -410,6 +410,26 @@ def test_robust_loss_opt_in(avr_data, tmp_path):
     assert np.isfinite(_loss_series(hist["eval"])[-1])
 
 
+def test_robust_loss_trips_above_limit(avr_data, tmp_path):
+    """The scalar adaptation normalizes only above robust_limit: with a
+    limit far below the early-training loss every record window trips
+    (the step direction is preserved, so the loss must still decrease)."""
+    cfg = _cfg(
+        "ode_no_encode", avr_data, tmp_path / "m",
+        robust_loss=True, robust_limit=1e-4, loss_record_iter=2,
+    )
+    _, model_path = Trainer(cfg).train()
+    log = (model_path / "training.log").read_text()
+    tripped = [
+        float(line.split("robust_tripped:")[1].split(",")[0])
+        for line in log.splitlines() if "robust_tripped:" in line
+    ]
+    assert tripped and all(v == 1.0 for v in tripped), tripped
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    evals = _loss_series(hist["eval"])
+    assert evals[-1] < evals[0], f"normalized steps did not learn: {evals}"
+
+
 def test_kernel_tuning_config(avr_data, tmp_path):
     """TrainConfig.fwd_lanes/time_block reach the kernel module
     (VERDICT r2 item 7: no env-only tuning)."""
