@@ -919,6 +919,15 @@ class Trainer:
         )
         logger.testing_log("=" * 86)
         logger.close()
+        # testing-mode results file (ref neural_01_DAE_02_direct_encode.py:450
+        # — only script 4 saves it; generalized to every variant here). The
+        # reference's ``dtype=object`` KWARG lands as a saved key named
+        # "dtype"; the key set is pinned for .npz compatibility.
+        np.savez(
+            model_path.parent / "evaluation.npz",
+            train_error_list=np.asarray([], dtype=object),
+            eval=result, dtype=np.asarray(object),
+        )
         return result
 
     # ------------------------------------------------------------------- save

@@ -78,6 +78,11 @@ def test_ode_testing_and_saving_modes(avr_data, tmp_path):
     result = Trainer(tcfg).test()
     assert result.shape == (2,)
     assert np.isfinite(float(result[0]))
+    # testing-mode results file (ref script4:450, generalized): pinned key
+    # set incl. the reference's accidental "dtype" key
+    ev = np.load(model_path / "evaluation.npz", allow_pickle=True)
+    assert set(ev.files) == {"train_error_list", "eval", "dtype"}
+    assert float(ev["eval"][0]) == float(result[0])
     out = Trainer(tcfg).save()
     assert (out / "de_func.weights.npz").exists()
 
