@@ -4,7 +4,9 @@
 
 Flags: --device --id --training --testing --saving --drawing --train_data
 --test_data --model --num --batch --hidden --epoch --step. Extras (beyond
-parity): --solver, --devices (data-parallel mesh size), --lr, --seed.
+parity): --solver, --devices (data-parallel mesh size), --lr, --seed,
+--fused, --n_windows/--gap_weight (multiple shooting), --robust_loss,
+--init_style, --channel_impl.
 """
 
 from __future__ import annotations
@@ -81,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Teacher forcing (DAE only): feed the TRUE "
                              "lagged algebraic output to every step "
                              "(ref my_solvers.py:113,118).")
+    parser.add_argument("--n_windows", type=int, default=0,
+                        help="Multiple-shooting window count K (0 = plain "
+                             "BPTT). (step-1) must be divisible by K. "
+                             "Recommended long-horizon config at T~1000: "
+                             "K=20 with --gap_weight 0.3 (see ACCURACY.md "
+                             "K-sweep: better final eval than BPTT at ~3x "
+                             "less wall clock).")
+    parser.add_argument("--gap_weight", type=float, default=1.0,
+                        help="Multiple-shooting continuity-gap penalty "
+                             "weight (with --n_windows).")
     parser.add_argument("--robust_loss", action="store_true",
                         help="Wrap the variant loss in the robust guard "
                              "(ref utils.py:29-42): NaN losses take a "
@@ -185,6 +197,8 @@ def main(variant: str, argv=None):
         input_true_x=args.input_true_x,
         input_true_i=args.input_true_i,
         larger_than=_parse_larger_than(args.larger_than),
+        n_windows=args.n_windows or None,
+        gap_weight=args.gap_weight,
         robust_loss=args.robust_loss,
         init_style=args.init_style,
         channel_impl=args.channel_impl,

@@ -488,6 +488,18 @@ class Trainer:
             (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
                 params, batch
             )
+            if cfg.robust_loss:
+                # The loss-level NaN guard alone cannot deliver its promised
+                # "zero-gradient step": a NaN born in the forward rollout
+                # reaches the cotangents as 0*NaN = NaN through the where()
+                # (standard JAX where-grad pitfall), and one NaN gradient
+                # poisons Adam's moments — every later step is NaN even
+                # though the tripped step's params were frozen. Zero the
+                # nonfinite gradient entries so the optimizer state advances
+                # with genuinely zero gradients on a tripped step.
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+                )
             gnorm = reference_grad_norm(grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)

@@ -31,6 +31,25 @@ def test_parser_defaults_match_reference():
     assert args.epoch == 400 and args.step == 1001
 
 
+def test_cli_multishoot_training_end_to_end(tmp_path):
+    """--n_windows/--gap_weight reach the trainer: multishoot CLI run
+    trains and checkpoints (K=4 windows over a 21-step series: (21-1)%4==0)."""
+    train_f, test_f = write_avr_dataset(
+        tmp_path / "d", n_train=8, n_test=4, n_steps=21
+    )
+    main(
+        "ode_no_encode",
+        argv=[
+            "--device", "cpu", "--training",
+            "--train_data", str(train_f), "--test_data", str(test_f),
+            "--model", str(tmp_path / "m"), "--num", "8", "--batch", "4",
+            "--hidden", "8", "--epoch", "1", "--step", "21",
+            "--n_windows", "4", "--gap_weight", "0.3",
+        ],
+    )
+    assert (tmp_path / "m" / "model_checkpoint.1").exists()
+
+
 def test_cli_no_mode_exits():
     with pytest.raises(SystemExit):
         main("ode_no_encode", argv=["--device", "cpu"])

@@ -435,6 +435,63 @@ def test_robust_loss_trips_above_limit(avr_data, tmp_path):
     assert evals[-1] < evals[0], f"normalized steps did not learn: {evals}"
 
 
+def test_robust_loss_survives_forward_nan(avr_data, tmp_path):
+    """A NaN that reaches the loss must take a TRUE zero-gradient step.
+
+    Regression test: the loss-level guard alone maps a NaN loss to 0 and
+    the zero-loss guard freezes params, but the NaN cotangent flows through
+    the where() as 0*NaN = NaN into the GRADIENTS, poisoning Adam's moments
+    — so every step after the tripped one went NaN. With robust_loss the
+    trainer now zeroes nonfinite gradient entries: the tripped step freezes
+    params with a finite optimizer state, and the next CLEAN step still
+    trains."""
+    import jax
+
+    from py_psnode_tpu.train.optim import make_optimizer
+
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", robust_loss=True)
+    tr = Trainer(cfg)
+    train_ds = tr.load_train_dataset()
+    model, params, dims = tr.build_model(train_ds)
+    tx = make_optimizer(cfg.learning_rate, cfg.epoch, 2)
+    opt_state = tx.init(params)
+    step = tr._make_train_step(model, tx)
+    batch = tr._prep_batch(
+        next(iter(train_ds.batches(cfg.batch, shuffle=True, seed=0))),
+        cfg.batch,
+    )
+    snap = lambda t: [np.asarray(l) for l in jax.tree_util.tree_leaves(t)]
+    p1, o1, aux1, g1 = step(params, opt_state, batch)
+    assert float(aux1["robust_tripped"]) in (0.0, 1.0)
+    p1_np = snap(p1)  # the step donates its params/opt_state buffers
+
+    bad = dict(batch)
+    x = np.array(bad["x"], copy=True)
+    x[:, 5:, :] = np.nan  # poison the targets, not the initial state
+    bad["x"] = x
+    p2, o2, aux2, g2 = step(p1, o1, bad)
+    assert float(aux2["robust_tripped"]) == 1.0
+    assert float(g2) == 0.0, "tripped step must apply a ZERO gradient"
+    p2_np, o2_np = snap(p2), snap(o2)
+    for a, b in zip(p2_np, p1_np):
+        np.testing.assert_array_equal(a, b)
+    assert all(
+        np.isfinite(l).all()
+        for l in o2_np
+        if np.issubdtype(l.dtype, np.floating)
+    ), "optimizer moments were poisoned by the NaN step"
+
+    p3, _, aux3, g3 = step(p2, o2, batch)
+    p3_np = snap(p3)
+    assert all(
+        np.isfinite(l).all() for l in p3_np
+    ), "clean step after a NaN trip produced nonfinite params"
+    assert float(g3) > 0.0
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(p3_np, p2_np)
+    ), "clean step after a NaN trip did not train"
+
+
 def test_kernel_tuning_config(avr_data, tmp_path):
     """TrainConfig.fwd_lanes/time_block reach the kernel module
     (VERDICT r2 item 7: no env-only tuning)."""
