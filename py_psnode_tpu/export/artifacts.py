@@ -59,6 +59,11 @@ def save_params_npz(path, params):
     # for auto-resume to trip over
     path = pathlib.Path(path)
     tmp = path.with_name(path.name + ".tmp")
+    # device_get overlaps the per-leaf device->host copies (async copy of
+    # every leaf is issued before the first blocking read); letting np.savez
+    # pull leaves one by one instead pays the device tunnel's ~40 ms RTT per
+    # tensor — measured 0.57 s/epoch vs ~0.08 s for the h=128 DAE model
+    params = jax.device_get(params)
     with open(tmp, "wb") as f:
         np.savez(f, **flatten_params(params))
     tmp.replace(path)
