@@ -549,3 +549,31 @@ def test_motor_dae_fused_end_to_end(tmp_path):
     params, model_path = Trainer(cfg).train()
     hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
     assert np.isfinite(float(hist["eval"][-1][0]))
+
+
+def test_record_window_logs_complete_and_ordered(avr_data, tmp_path):
+    """The lagged async log flush (epoch-IO optimization) must emit every
+    record window, in order, with the same ``Batch a to b`` ranges the
+    eager flush produced (ref :376-384 rolling log contract)."""
+    # num=16, batch=4 -> 4 batches/epoch; nrec=2 -> 2 windows per epoch
+    cfg = _cfg(
+        "ode_no_encode", avr_data, tmp_path / "m",
+        batch=4, epoch=2, loss_record_iter=2,
+    )
+    _, model_path = Trainer(cfg).train()
+    log = (model_path / "training.log").read_text()
+    windows = [
+        (ln.split("epoch")[1].split(":")[0].strip(), ln.split("Batch")[1].split(":")[0])
+        for ln in log.splitlines()
+        if "Training epoch" in ln and "Batch" in ln
+    ]
+    assert [w[0] for w in windows] == ["1", "1", "2", "2"]
+    assert [w[1].replace(" ", "") for w in windows] == ["0to2", "2to4"] * 2
+    # every window line carries a finite loss and gradient_norm
+    for ln in log.splitlines():
+        if "gradient_norm" in ln:
+            val = float(ln.rsplit("gradient_norm:", 1)[1].rstrip("."))
+            assert np.isfinite(val)
+    # the persisted history has one train entry per window
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    assert len(hist["train"]) == 4
