@@ -40,7 +40,7 @@ class DAEModel(nn.Module):
     hidden_dim: int
     solver: str = "euler"
     latent_x_dim: Optional[int] = None  # only used when x_dim == 0
-    remat: bool = True
+    remat: object = True  # False | True | "sqrt" | "adjoint"
     unroll: int = 1
 
     @nn.compact
@@ -114,7 +114,7 @@ class DAEEncodeModel(nn.Module):
     i_dim: int
     hidden_dim: int
     solver: str = "euler"
-    remat: bool = True
+    remat: object = True  # False | True | "sqrt" | "adjoint"
     unroll: int = 1
 
     @nn.compact

@@ -32,7 +32,7 @@ class ODEModel(nn.Module):
     z_dim: int
     hidden_dim: int
     solver: str = "euler"
-    remat: bool = True
+    remat: object = True  # False | True | "sqrt" | "adjoint"
     unroll: int = 1
 
     @nn.compact
@@ -82,7 +82,7 @@ class ODEEncodeModel(nn.Module):
     z_dim: int
     hidden_dim: int
     solver: str = "euler"
-    remat: bool = True
+    remat: object = True  # False | True | "sqrt" | "adjoint"
     unroll: int = 1
 
     @nn.compact

@@ -58,6 +58,14 @@ def _scan(body, carry, inputs, remat, unroll):
                    one chunk of activations; the TPU answer to the
                    reference's BPTT-memory problem (SURVEY.md §7 hard parts).
     """
+    if remat not in (False, True, "sqrt"):
+        # "adjoint" is dispatched before the scan (integrate_ode/dae); the
+        # channel-wise models call _scan directly and have no adjoint path
+        raise ValueError(
+            f"unknown remat policy {remat!r} for the scan time loop; "
+            "choose False, True, or 'sqrt' ('adjoint' is available on the "
+            "integrate_ode/integrate_dae rollouts)"
+        )
     if remat != "sqrt":
         return lax.scan(_maybe_remat(body, remat), carry, inputs, unroll=unroll)
 
@@ -121,6 +129,19 @@ def integrate_ode(
       ``[T, B, xd]`` solution with ``solution[0] == x[0]``.
     """
     stepper = get_stepper(stepper)
+    if remat == "adjoint":
+        # discrete adjoint with saved states: exact BPTT gradients at
+        # O(1) activation memory (solvers/adjoint.py — the reference's own
+        # TODO, ref my_solvers.py:69)
+        if input_true_x:
+            raise ValueError(
+                "remat='adjoint' applies to the plain rollout only "
+                "(teacher forcing severs the through-time dependence, so "
+                "it has no BPTT-memory problem — use the scan path)"
+            )
+        from py_psnode_tpu.solvers.adjoint import adjoint_integrate_ode
+
+        return adjoint_integrate_ode(stepper, de_fn, t, x, z_step)
     x0 = x[0]
 
     def body(x_prev, inp):
@@ -175,6 +196,20 @@ def integrate_dae(
       ``(x_solution, i_solution)`` with shapes ``[T, B, xd]`` / ``[T, B, id]``.
     """
     stepper = get_stepper(stepper)
+    if remat == "adjoint":
+        # discrete adjoint with saved states (see integrate_ode above and
+        # solvers/adjoint.py)
+        if input_true_x or input_true_i:
+            raise ValueError(
+                "remat='adjoint' applies to the plain rollout only "
+                "(teacher forcing severs the through-time dependence, so "
+                "it has no BPTT-memory problem — use the scan path)"
+            )
+        from py_psnode_tpu.solvers.adjoint import adjoint_integrate_dae
+
+        return adjoint_integrate_dae(
+            stepper, de_fn, ae_fn, x_init, t, z, v, z_step, v_step, is_event
+        )
     T = t.shape[0]
     x0 = x_init
     i0 = ae_fn(x_true[0] if input_true_x else x0, z[0], v[0])
