@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Fixed-grid stepper: euler | midpoint | rk4. Default euler.")
     parser.add_argument("--devices", type=int, default=0,
                         help="Data-parallel mesh size (0 = single device).")
+    parser.add_argument("--dcn_size", type=int, default=0,
+                        help="Multi-host pods: size of the outer (DCN) mesh "
+                             "axis. 0 = auto (process count when launched "
+                             "under jax.distributed, else single-host). Set "
+                             "explicitly to simulate a pod layout on one "
+                             "process.")
     parser.add_argument("--lr", type=float, default=5e-3,
                         help="Learning rate. Default 5e-3.")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed.")
@@ -86,10 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_windows", type=int, default=0,
                         help="Multiple-shooting window count K (0 = plain "
                              "BPTT). (step-1) must be divisible by K. "
-                             "Recommended long-horizon config at T~1000: "
-                             "K=20 with --gap_weight 0.3 (see ACCURACY.md "
-                             "K-sweep: better final eval than BPTT at ~3x "
-                             "less wall clock).")
+                             "Decision rule: try --robust_loss BPTT first "
+                             "(converges ~10x lower at the full reference "
+                             "envelope, ACCURACY.md); use K=20 with "
+                             "--gap_weight 0.3 when the epoch/wall-clock "
+                             "budget is small or guarded BPTT still "
+                             "diverges.")
     parser.add_argument("--gap_weight", type=float, default=1.0,
                         help="Multiple-shooting continuity-gap penalty "
                              "weight (with --n_windows).")
@@ -111,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "per-channel stacks as one wide block-"
                              "diagonal MXU dot per layer (recommended at "
                              "small batch; identical math).")
+    parser.add_argument("--remat", type=str, default="true",
+                        choices=("false", "true", "sqrt", "adjoint"),
+                        help="BPTT memory policy for the XLA scan forward: "
+                             "per-step checkpointing (true), sqrt-T chunked "
+                             "remat, or the discrete adjoint pass (exact "
+                             "BPTT gradients at O(1) activation memory — "
+                             "for very long horizons).")
     parser.add_argument("--larger_than", type=str, default="variant",
                         help='contain_larger_than/show_larger_than filter: a '
                              'float, "none", or "variant" (per-variant '
@@ -190,6 +205,7 @@ def main(variant: str, argv=None):
         solver=args.solver,
         drawing=args.drawing,
         n_devices=args.devices or None,
+        dcn_size=args.dcn_size or None,
         seed=args.seed,
         fused=args.fused,
         checkpointer=args.checkpointer,
@@ -197,6 +213,7 @@ def main(variant: str, argv=None):
         input_true_x=args.input_true_x,
         input_true_i=args.input_true_i,
         larger_than=_parse_larger_than(args.larger_than),
+        remat={"false": False, "true": True}.get(args.remat, args.remat),
         n_windows=args.n_windows or None,
         gap_weight=args.gap_weight,
         robust_loss=args.robust_loss,

@@ -1,10 +1,16 @@
-"""Multi-host (pod) hooks.
+"""Multi-host (pod) support.
 
-Single-host is the tested path on this machine (one chip + virtual CPU
-meshes); these helpers wire the standard JAX multi-host recipe for v5e pods:
-``jax.distributed.initialize`` per process, a global mesh over
-``jax.devices()`` with the DCN axis outermost, and host-local → global array
-assembly for the data loader.
+The standard JAX multi-host recipe for v5e pods: ``jax.distributed
+.initialize`` per process, a global mesh over ``jax.devices()`` with the
+DCN axis outermost, and host-local → global array assembly for the data
+loader. The production ``Trainer`` drives this directly — it builds the pod
+mesh automatically when launched under ``jax.distributed`` (or when
+``TrainConfig.dcn_size`` simulates one), shards train AND eval over both
+axes, feeds host-local batch rows, and gates checkpoint/log/export IO to
+process 0 (``train/trainer.py``). Proven end to end by a REAL 2-process
+2-epoch Trainer run with orbax auto-resume matching the single-process
+simulated mesh (``pod_smoke.trainer_self_test``,
+``tests/test_sharding.py::test_pod_trainer_real_two_process_dcn``).
 """
 
 from __future__ import annotations

@@ -8,10 +8,10 @@ axis — BASELINE.json's "fleet batching" north star). Gradients all-reduce
 implicitly inside ``jax.jit`` over sharded inputs; no explicit collectives
 are needed (XLA inserts ``psum`` over ICI).
 
-Multi-host pods: build the mesh from ``jax.devices()`` (global) under
-``jax.distributed``; host data loading feeds each process its shard via
-``host_local_array_to_global_array`` — hooks are provided but single-host is
-the tested path (one real chip + virtual CPU meshes in CI).
+Multi-host pods: see :mod:`py_psnode_tpu.parallel.distributed` — the
+``Trainer`` builds the ``(dcn, data)`` pod mesh itself when launched under
+``jax.distributed`` (or ``TrainConfig.dcn_size``), with a real 2-process
+proof in ``pod_smoke.trainer_self_test``.
 """
 
 from __future__ import annotations

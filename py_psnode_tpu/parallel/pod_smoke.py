@@ -239,6 +239,172 @@ def self_test(num_processes: int = 2, devices_per_process: int = 4) -> None:
     )
 
 
+# --------------------------------------------------------------------------
+# Full-Trainer pod run: the PRODUCTION training loop over the (dcn, data)
+# mesh — 2 epochs with an orbax auto-resume in the middle, driven both as a
+# real 2-process jax.distributed job and as the single-process simulated
+# mesh, which must agree (the round-3 gap: the pod mesh existed but the
+# Trainer never built it).
+
+TRAINER_T = 33  # horizon for the pod trainer runs ((T-1) scan steps)
+
+
+def _trainer_cfg(workdir: str, epochs: int, dcn_size=None):
+    from py_psnode_tpu.train import TrainConfig
+
+    return TrainConfig(
+        variant="dae_no_encode",
+        train_data=f"{workdir}/data/training.npz",
+        test_data=f"{workdir}/data/testing.npz",
+        model=f"{workdir}/m",
+        num=16, batch=8, hidden=16, epoch=epochs, step=TRAINER_T,
+        solver="rk4", larger_than=None, loss_record_iter=2,
+        checkpointer="orbax", auto_resume=True, echo_logs=False,
+        dcn_size=dcn_size, seed=0,
+    )
+
+
+def trainer_pod_run(workdir: str, dcn_size=None) -> str:
+    """Train 1 epoch, then a fresh Trainer auto-resumes (orbax opt_state
+    restored) and trains epoch 2 — the crash-recovery path over the pod
+    mesh. Returns this process's final eval summary line."""
+    import pathlib
+
+    import jax
+
+    from py_psnode_tpu.train import Trainer
+
+    _, mdir = Trainer(_trainer_cfg(workdir, 1, dcn_size)).train()
+    assert (pathlib.Path(mdir) / "model_checkpoint.1").exists()
+    Trainer(_trainer_cfg(workdir, 2, dcn_size)).train()
+    pid = jax.process_index()
+    sfx = "" if pid == 0 else f".proc{pid}"
+    mdir = pathlib.Path(mdir)
+    tlog = (mdir / f"training{sfx}.log").read_text()
+    assert "auto-resume from model_checkpoint.1 (orbax" in tlog, tlog[-500:]
+    # every process logs the eval it computed (replicated global reads);
+    # the final x_loss_total line is the epoch-2 eval
+    eval_lines = [
+        l for l in (mdir / f"testing{sfx}.log").read_text().splitlines()
+        if "x_loss_total" in l
+    ]
+    x_loss = float(eval_lines[-1].rsplit(":", 1)[1].rstrip("."))
+    return (
+        f"trainer_pod proc {pid}/{jax.process_count()}: "
+        f"devices={jax.device_count()} final_eval_x_loss={x_loss:.9f}"
+    )
+
+
+def trainer_self_test(num_processes: int = 2, devices_per_process: int = 4):
+    """2-process x 4-device REAL-DCN Trainer run (orbax auto-resume in the
+    middle) must match the single-process simulated (dcn, data) mesh."""
+    import socket
+    import subprocess
+    import tempfile
+
+    from py_psnode_tpu.data.synthetic import write_smib_dataset
+
+    work = tempfile.mkdtemp(prefix="psnode_pod_trainer_")
+    write_smib_dataset(
+        f"{work}/pod/data", n_train=16, n_test=8, n_steps=TRAINER_T, seed=0
+    )
+    write_smib_dataset(
+        f"{work}/sim/data", n_train=16, n_test=8, n_steps=TRAINER_T, seed=0
+    )
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={devices_per_process}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the real chip
+    env[_CHILD_ENV] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, env.get("PYTHONPATH", "")) if p
+    )
+
+    def spawn_round(port):
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "py_psnode_tpu.parallel.pod_smoke",
+                    "--trainer_child", "--workdir", f"{work}/pod",
+                    "--coordinator", f"localhost:{port}",
+                    "--num_processes", str(num_processes),
+                    "--process_id", str(i),
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(num_processes)
+        ]
+        return procs, [p.communicate(timeout=900) for p in procs]
+
+    for attempt in range(3):  # same coordinator-port race dance as self_test
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs, outs = spawn_round(port)
+        bind_race = any(
+            p.returncode != 0 and "address" in err.lower() and (
+                "in use" in err.lower() or "bind" in err.lower()
+            )
+            for p, (_, err) in zip(procs, outs)
+        )
+        if not bind_race:
+            break
+        print(f"trainer pod: coordinator port {port} raced, retrying "
+              f"({attempt + 1}/3)", flush=True)
+    losses = []
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"trainer pod child {i} failed (rc={p.returncode}):\n"
+                f"{err[-4000:]}"
+            )
+        line = [l for l in out.splitlines() if "trainer_pod proc" in l][-1]
+        print(line)
+        losses.append(float(line.rsplit("final_eval_x_loss=", 1)[1]))
+    assert all(abs(l - losses[0]) < 1e-9 for l in losses), losses
+
+    # single-process simulated (dcn, data) mesh over ALL the virtual devices
+    sim_env = dict(env)
+    flags = [
+        f for f in sim_env["XLA_FLAGS"].split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append(
+        "--xla_force_host_platform_device_count="
+        f"{num_processes * devices_per_process}"
+    )
+    sim_env["XLA_FLAGS"] = " ".join(flags)
+    sim = subprocess.run(
+        [
+            sys.executable, "-m", "py_psnode_tpu.parallel.pod_smoke",
+            "--trainer_sim", "--workdir", f"{work}/sim",
+            "--num_processes", str(num_processes),
+        ],
+        env=sim_env, capture_output=True, text=True, timeout=900,
+    )
+    if sim.returncode != 0:
+        raise RuntimeError(
+            f"trainer simulated-mesh child failed:\n{sim.stderr[-4000:]}"
+        )
+    line = [l for l in sim.stdout.splitlines() if "trainer_pod proc" in l][-1]
+    print(line)
+    ref = float(line.rsplit("final_eval_x_loss=", 1)[1])
+    assert abs(ref - losses[0]) < 1e-4, (ref, losses)
+    print(
+        f"trainer pod self-test OK: {num_processes}-process Trainer "
+        "(orbax auto-resume) == single-process simulated pod mesh "
+        f"({ref:.9f} vs {losses[0]:.9f})"
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--coordinator", default="localhost:12355")
@@ -246,12 +412,28 @@ def main(argv=None):
     ap.add_argument("--process_id", type=int, default=0)
     ap.add_argument("--self_test", action="store_true")
     ap.add_argument("--simulated_ref", action="store_true")
+    ap.add_argument("--trainer_self_test", action="store_true")
+    ap.add_argument("--trainer_child", action="store_true")
+    ap.add_argument("--trainer_sim", action="store_true")
+    ap.add_argument("--workdir", default="")
     args = ap.parse_args(argv)
     if args.self_test:
         self_test(args.num_processes)
     elif args.simulated_ref:
         loss = simulated_reference_loss(dcn_size=args.num_processes)
         print(f"pod_smoke simulated-mesh reference loss={loss:.9f}", flush=True)
+    elif args.trainer_self_test:
+        trainer_self_test(args.num_processes)
+    elif args.trainer_child:
+        from py_psnode_tpu.parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        print(trainer_pod_run(args.workdir), flush=True)
+    elif args.trainer_sim:
+        print(
+            trainer_pod_run(args.workdir, dcn_size=args.num_processes),
+            flush=True,
+        )
     else:
         run_process(args.coordinator, args.num_processes, args.process_id)
 

@@ -101,6 +101,10 @@ class OrbaxCheckpointer:
     def _gc(self, newest_epoch: int):
         if self.keep is None:
             return
+        import jax
+
+        if jax.process_index() != 0:  # one deleter under multi-controller
+            return
         for p in self.model_dir.iterdir():
             m = re.fullmatch(r"model_checkpoint\.(\d+)", p.name)
             if m and p.is_dir() and int(m.group(1)) <= newest_epoch - self.keep:

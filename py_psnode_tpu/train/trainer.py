@@ -31,13 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec
 
 from py_psnode_tpu.data import DaeSamples, OdeSamples
 from py_psnode_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     pad_batch,
-    replicated,
 )
 from py_psnode_tpu.train import evaluate as E
 from py_psnode_tpu.train.optim import make_optimizer, reference_grad_norm
@@ -71,8 +71,23 @@ class TrainConfig:
     solver: str = "euler"
     drawing: bool = False
     n_devices: Optional[int] = None  # data-parallel mesh size (None = 1)
+    # multi-host pods: size of the slow outer (DCN) mesh axis. Set
+    # explicitly to SIMULATE a pod on one process (e.g. dcn_size=2 over the
+    # 8-device CPU mesh yields a 2x4 (dcn, data) mesh), or leave None —
+    # when the process was launched under jax.distributed with
+    # process_count > 1 the trainer builds the pod mesh automatically
+    # (dcn = process axis). In pod mode ALL visible devices join the mesh
+    # (n_devices is ignored), the batch shards over BOTH axes, each process
+    # feeds its host-local batch rows, and only process 0 writes
+    # checkpoints/logs/exports (other processes log to *.procN files).
+    dcn_size: Optional[int] = None
     seed: int = 0
-    remat: bool = True
+    # BPTT memory policy for the XLA scan forward: False (store all
+    # activations), True (per-step jax.checkpoint), "sqrt" (sqrt-T chunked
+    # remat), or "adjoint" (discrete adjoint with saved states — exact BPTT
+    # gradients at O(1) activation memory, the right policy for T >> 1000;
+    # solvers/adjoint.py, grad-parity-tested in tests/test_adjoint.py)
+    remat: object = True
     unroll: int = 1
     echo_logs: bool = True
     progress: bool = False
@@ -126,12 +141,15 @@ class TrainConfig:
     input_true_i: bool = False
     # multi-shooting: split the horizon into K windows trained in parallel
     # ((step-1) must be divisible by K). gap_weight penalizes
-    # window-boundary continuity defects. Recommended long-horizon config
-    # at T~1000: n_windows=20, gap_weight=0.3 — reaches a BETTER final
-    # full-rollout eval than plain BPTT in fewer epochs at ~3x less wall
-    # clock (K-sweep + convergence study: ACCURACY.md round-3,
-    # benchmarks/multishoot_study.py). Keep windows >= ~50 steps: 25-step
-    # windows (K=40 at T=1001) under-constrain the rollout and diverge.
+    # window-boundary continuity defects. DECISION RULE (long horizons,
+    # T~1000): train with robust_loss BPTT first — at the full reference
+    # envelope (3200 samples x 400 epochs) it converges ~10x lower than
+    # multishoot K=20, while unguarded BPTT diverges (ACCURACY.md
+    # full-envelope study). Reach for multi-shooting (n_windows=20,
+    # gap_weight=0.3; keep windows >= ~50 steps — 25-step windows
+    # under-constrain the rollout and diverge) when the epoch/wall-clock
+    # budget is SMALL (it beats BPTT's final loss within ~30 epochs at ~3x
+    # less wall clock) or when guarded BPTT still diverges on your data.
     n_windows: Optional[int] = None
     gap_weight: float = 1.0
     # keep the whole training set resident on device and gather batches by
@@ -170,10 +188,73 @@ class Trainer:
             from py_psnode_tpu.ops.fused_dae import set_kernel_tuning
 
             set_kernel_tuning(cfg.fwd_lanes, cfg.time_block)
-        self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+        self.n_proc = jax.process_count()
+        self.proc_id = jax.process_index()
+        self.is_lead = self.proc_id == 0
+        self.pod = cfg.dcn_size is not None or self.n_proc > 1
+        if self.pod:
+            from py_psnode_tpu.parallel.distributed import make_pod_mesh
+
+            self.mesh = make_pod_mesh(dcn_size=cfg.dcn_size)
+            # batch shards over BOTH axes: hierarchical all-reduce (ICI
+            # within a slice, DCN across)
+            self._bspec = PartitionSpec(tuple(self.mesh.axis_names))
+        else:
+            self.mesh = make_mesh(cfg.n_devices) if cfg.n_devices else None
+        if self.mesh is not None:
+            div = self._batch_div()
+            if cfg.batch % div:
+                raise ValueError(
+                    f"batch ({cfg.batch}) must be divisible by the number of "
+                    f"devices the batch shards over ({div})"
+                )
         self.larger_than = (
             self.variant.larger_than if cfg.larger_than == "variant" else cfg.larger_than
         )
+
+    # ------------------------------------------------------------- sharding
+
+    def _batch_div(self) -> int:
+        """Number of devices the batch axis shards over."""
+        if self.mesh is None:
+            return 1
+        if self.pod:
+            return int(np.prod(self.mesh.devices.shape))
+        return int(self.mesh.devices.shape[0])
+
+    def _rep(self) -> NamedSharding:
+        return NamedSharding(self.mesh, PartitionSpec())
+
+    def _bsh(self) -> NamedSharding:
+        if self.pod:
+            return NamedSharding(self.mesh, self._bspec)
+        return batch_sharding(self.mesh)
+
+    def _put_replicated(self, tree):
+        """Device-put a (host-identical) pytree fully replicated over the
+        mesh. Works under multi-controller: every process holds the full
+        value, so each contributes all its addressable shards."""
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        return jax.device_put(tree, self._rep())
+
+    def _put_batch(self, arr):
+        """Device-put one GLOBAL host array with the leading (batch) axis
+        sharded. Under multi-controller each process contributes only its
+        host-local row block (the ``dcn`` axis is the process axis, so
+        process p owns rows [p*n/P, (p+1)*n/P))."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        sh = self._bsh()
+        if self.n_proc > 1:
+            arr = np.asarray(arr)
+            n = arr.shape[0]
+            lo = self.proc_id * n // self.n_proc
+            hi = (self.proc_id + 1) * n // self.n_proc
+            return jax.make_array_from_process_local_data(
+                sh, arr[lo:hi], arr.shape
+            )
+        return jax.device_put(arr, sh)
 
     # ------------------------------------------------------------------ data
 
@@ -534,8 +615,7 @@ class Trainer:
                 return step(params, opt_state, batch)
 
             if self.mesh is not None:
-                rep = replicated(self.mesh)
-                bsh = batch_sharding(self.mesh)
+                rep, bsh = self._rep(), self._bsh()
                 return jax.jit(
                     step_idx,
                     in_shardings=(rep, rep, bsh, bsh),
@@ -545,8 +625,7 @@ class Trainer:
             return jax.jit(step_idx, donate_argnums=(0, 1))
 
         if self.mesh is not None:
-            rep = replicated(self.mesh)
-            bsh = batch_sharding(self.mesh)
+            rep, bsh = self._rep(), self._bsh()
             return jax.jit(
                 step,
                 in_shardings=(rep, rep, bsh),
@@ -563,7 +642,7 @@ class Trainer:
         n = len(test_ds)
         b = n if n <= 512 else max(int(n / 10), 1)
         if self.mesh is not None:
-            d = self.mesh.devices.shape[0]
+            d = self._batch_div()
             b = -(-b // d) * d
         return b
 
@@ -586,13 +665,9 @@ class Trainer:
         n_bytes = sum(getattr(test_ds, k).nbytes for k in keys)
         device_resident = n_bytes <= cfg.device_data_max_bytes
         if device_resident:
-            if mesh is not None:
-                rep = replicated(mesh)
-                ddata = {
-                    k: jax.device_put(getattr(test_ds, k), rep) for k in keys
-                }
-            else:
-                ddata = {k: jnp.asarray(getattr(test_ds, k)) for k in keys}
+            ddata = {
+                k: self._put_replicated(getattr(test_ds, k)) for k in keys
+            }
         else:  # fall back to host slicing + per-batch transfer
             host = {k: getattr(test_ds, k) for k in keys}
 
@@ -626,12 +701,15 @@ class Trainer:
                 return compute(params, batch, want_preds)
 
         if mesh is not None:
-            rep, bsh = replicated(mesh), batch_sharding(mesh)
+            rep, bsh = self._rep(), self._bsh()
+            # multi-controller: replicate the (small, on-device-reduced)
+            # eval outputs so every process can read them back to the host
+            out_sh = rep if self.n_proc > 1 else bsh
             fwd = jax.jit(
                 fwd_impl, static_argnums=2,
-                in_shardings=(rep, bsh), out_shardings=bsh,
+                in_shardings=(rep, bsh), out_shardings=out_sh,
             )
-            put = lambda a: jax.device_put(a, bsh)
+            put = self._put_batch
         else:
             fwd = jax.jit(fwd_impl, static_argnums=2)
             put = jnp.asarray
@@ -657,8 +735,7 @@ class Trainer:
             np.float32
         )
         if self.mesh is not None:
-            sh = batch_sharding(self.mesh)
-            batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            batch = {k: self._put_batch(v) for k, v in batch.items()}
         return batch
 
     # ------------------------------------------------------------------ train
@@ -675,6 +752,10 @@ class Trainer:
             cfg.learning_rate, cfg.epoch, steps_per_epoch, cfg.sch_gamma,
             cfg.gradient_clip, skip_nonfinite=cfg.skip_nonfinite,
         )
+        # under multi-controller the jitted step's replicated in_shardings
+        # require GLOBAL arrays; init is deterministic so every process holds
+        # the same values and replication is a pure placement
+        params = self._put_replicated(params)
         opt_state = tx.init(params)
 
         # model path (+ resume-from-checkpoint branching, ref :297-305; a
@@ -692,7 +773,7 @@ class Trainer:
             r"model_checkpoint\.\d+", model_path.name
         )
         if model_path.exists() and (not model_path.is_dir() or is_ckpt_dir):
-            params = load_checkpoint_params(model_path)
+            params = self._put_replicated(load_checkpoint_params(model_path))
             opt_state = tx.init(params)
             model_path = model_path.parent / (model_path.name + "_branch")
         model_path.mkdir(parents=True, exist_ok=True)
@@ -716,13 +797,16 @@ class Trainer:
                             cpath,
                             template={"params": params, "opt_state": opt_state},
                         )
-                        params, opt_state = state["params"], state["opt_state"]
+                        params = self._put_replicated(state["params"])
+                        opt_state = self._put_replicated(state["opt_state"])
                         resume_note = (
                             f"auto-resume from {cpath.name} (orbax, "
                             "opt_state restored)"
                         )
                     else:
-                        params = load_checkpoint_params(cpath)
+                        params = self._put_replicated(
+                            load_checkpoint_params(cpath)
+                        )
                         opt_state = tx.init(params)
                         resume_note = (
                             f"auto-resume from {cpath.name} (params only — "
@@ -737,12 +821,19 @@ class Trainer:
                 start_epoch = ep + 1
                 break
 
-        logger = Logger(model_path, "training.log", "testing.log", echo=cfg.echo_logs)
+        # multi-controller: process 0 keeps the reference log names; other
+        # processes write to *.procN.log files (same content is computed
+        # everywhere — the replicated loss fetches are global reads)
+        sfx = "" if self.is_lead else f".proc{self.proc_id}"
+        logger = Logger(
+            model_path, f"training{sfx}.log", f"testing{sfx}.log",
+            echo=cfg.echo_logs and self.is_lead,
+        )
         if resume_note:
             logger.training_log(resume_note)
         metrics = (
             JsonlMetrics(model_path / "train_metrics.jsonl")
-            if cfg.jsonl_metrics
+            if cfg.jsonl_metrics and self.is_lead
             else None
         )
         logger.training_log(
@@ -752,22 +843,21 @@ class Trainer:
             f"cut_length: {cfg.step}, learning_rate: {cfg.learning_rate}"
         )
 
-        # device-resident training data when it fits (single-device path)
+        # device-resident training data when it fits (replicated under a
+        # mesh so every device gathers its own batch shard locally)
         data_keys = variant.batch_args + ("mask",)
         n_bytes = sum(getattr(train_ds, k).nbytes for k in data_keys)
         use_device_data = cfg.device_data and n_bytes <= cfg.device_data_max_bytes
-        if use_device_data and self.mesh is not None:
-            rep = replicated(self.mesh)
+        if use_device_data:
             device_data = {
-                k: jax.device_put(getattr(train_ds, k), rep) for k in data_keys
+                k: self._put_replicated(getattr(train_ds, k))
+                for k in data_keys
             }
-        elif use_device_data:
-            device_data = {k: jnp.asarray(getattr(train_ds, k)) for k in data_keys}
         else:
             device_data = None
         train_step = self._make_train_step(model, tx, device_data=device_data)
         apply_fn_factory = self._make_eval_apply(model, test_ds)
-        pic_path = model_path / "pics" if cfg.drawing else None
+        pic_path = model_path / "pics" if cfg.drawing and self.is_lead else None
         eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
 
         train_error_list, eval_error_list = [], []
@@ -810,7 +900,7 @@ class Trainer:
                             [idx, np.repeat(idx[-1:], cfg.batch - n_real)]
                         )
                     w = (np.arange(cfg.batch) < n_real).astype(np.float32)
-                    yield (jnp.asarray(idx), jnp.asarray(w))
+                    yield (self._put_batch(idx), self._put_batch(w))
             else:
                 for batch in train_ds.batches(
                     cfg.batch, shuffle=True, seed=cfg.seed + epoch
@@ -879,10 +969,12 @@ class Trainer:
             logger.training_log("-" * 86)
             t_steps, t_phase = time.perf_counter() - t_phase, time.perf_counter()
 
-            # per-epoch checkpoint + eval + history + export (ref :388-402)
+            # per-epoch checkpoint + eval + history + export (ref :388-402).
+            # orbax saves are collective (every process participates; orbax
+            # elects the writer); npz snapshots are written by process 0.
             if ckptr is not None:
                 ckptr.save(epoch, params, opt_state)
-            else:
+            elif self.is_lead:
                 from py_psnode_tpu.export import save_params_npz
 
                 save_params_npz(model_path / f"model_checkpoint.{epoch}", params)
@@ -899,18 +991,20 @@ class Trainer:
             )
             logger.testing_log("=" * 86)
             t_eval, t_phase = time.perf_counter() - t_phase, time.perf_counter()
-            np.savez(
-                str(model_path / "train_and_eval.npz"),
-                train=np.array(train_error_list, dtype=object),
-                eval=np.array(eval_error_list, dtype=object),
-            )
+            if self.is_lead:
+                np.savez(
+                    str(model_path / "train_and_eval.npz"),
+                    train=np.array(train_error_list, dtype=object),
+                    eval=np.array(eval_error_list, dtype=object),
+                )
             if metrics is not None:
                 ev = eval_error_list[-1]
                 rec = {"kind": "eval", "epoch": epoch, "x_loss": float(ev[0])}
                 if variant.kind == "dae":
                     rec["i_loss"] = float(ev[1])
                 metrics.log(**rec)
-            variant.export_fn(model, params, dims, model_path / "saved model")
+            if self.is_lead:
+                variant.export_fn(model, params, dims, model_path / "saved model")
             if metrics is not None:
                 # per-phase epoch wall breakdown (steps = compute+dispatch up
                 # to the last record-window sync; export includes the
@@ -922,7 +1016,8 @@ class Trainer:
                     export_s=round(time.perf_counter() - t_phase, 4),
                 )
 
-        variant.export_fn(model, params, dims, model_path / "saved model")
+        if self.is_lead:
+            variant.export_fn(model, params, dims, model_path / "saved model")
         if ckptr is not None:
             ckptr.wait()
         if variant.kind == "dae":
