@@ -577,3 +577,30 @@ def test_record_window_logs_complete_and_ordered(avr_data, tmp_path):
     # the persisted history has one train entry per window
     hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
     assert len(hist["train"]) == 4
+
+
+def test_record_window_partial_tail_dropped_like_reference(avr_data, tmp_path):
+    """Non-divisible case: with 3 batches/epoch and loss_record_iter=2 the
+    trailing partial window is NOT logged — matching the reference's rolling
+    log, which only emits inside ``if (i+1) % loss_record_iter == 0`` (ref
+    neural_00_ODE_01_no_encode.py:380-384), so a partial tail never produces
+    a line there either. Pins that the lagged async flush preserves exactly
+    the reference's window set (full windows only, in order) rather than
+    silently losing a window it should have emitted."""
+    # num=12, batch=4 -> 3 batches/epoch; nrec=2 -> 1 full window + 1 tail
+    cfg = _cfg(
+        "ode_no_encode", avr_data, tmp_path / "m",
+        num=12, batch=4, epoch=2, loss_record_iter=2,
+    )
+    _, model_path = Trainer(cfg).train()
+    log = (model_path / "training.log").read_text()
+    windows = [
+        (ln.split("epoch")[1].split(":")[0].strip(),
+         ln.split("Batch")[1].split(":")[0].replace(" ", ""))
+        for ln in log.splitlines()
+        if "Training epoch" in ln and "Batch" in ln
+    ]
+    # one full window per epoch; batch 3's partial tail emits no line
+    assert windows == [("1", "0to2"), ("2", "0to2")], windows
+    hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
+    assert len(hist["train"]) == 2
