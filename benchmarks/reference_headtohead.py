@@ -418,7 +418,11 @@ def main():
             "steps": args.steps, "n_train": args.n_train,
             "n_test": args.n_test, "batch": args.batch,
             "solver": "euler", "lr": 5e-3, "sch_gamma": 0.7,
-            "seed": args.seed,
+            "seed": args.seed, "dataset": args.dataset,
+            # init of OUR leg; the torch leg always uses torch's default
+            # nn.Linear init (the reference's). init="torch" matches the
+            # distributions so convergence diffs can't hide in init.
+            "init_style": args.init,
         },
     }
 
