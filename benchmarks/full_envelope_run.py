@@ -66,8 +66,18 @@ def model_dir(variant: str, tag: str) -> pathlib.Path:
 
 def _variant_flags(variant: str):
     if "channelwise" in variant:
-        return ["--channel_impl", "blockdiag"]
+        # einsum is the family's fast form at B=64/h=128 (BENCH_DETAILS
+        # 10a vs 10c and 10b vs 10d), and the envelope runs ride the
+        # reference's PUBLISHED solver (Euler, hardcoded at ref
+        # script1:75) — rk4 multiplies the dynamics-net cost 4x on the
+        # family with no fused fast path, which buys nothing for a
+        # convergence/divergence study.
+        return ["--channel_impl", "einsum"]
     return ["--fused"]
+
+
+def _variant_solver(variant: str) -> str:
+    return "euler" if "channelwise" in variant else "rk4"
 
 
 def write_data():
@@ -99,7 +109,7 @@ def run(variant: str, tag: str):
             "--model", str(model_dir(variant, tag)),
             "--num", "3200", "--batch", "64", "--hidden", "128",
             "--epoch", "400", "--step", "1001",
-            "--solver", "rk4", "--init_style", "torch",
+            "--solver", _variant_solver(variant), "--init_style", "torch",
             "--seed", "0", *_variant_flags(variant), *TAG_FLAGS[tag],
         ],
     )
@@ -139,12 +149,14 @@ def summarize():
     dst = pathlib.Path("benchmarks/full_envelope_summary.json")
     out = {"protocol": {
         "n_train": 3200, "n_test": 320, "t_len": 1001, "batch": 64,
-        "hidden": 128, "epochs": 400, "lr": 5e-3, "solver": "rk4",
+        "hidden": 128, "epochs": 400, "lr": 5e-3,
+        "solver": "rk4 (channel-wise pair: euler — the reference's "
+                  "published solver, ref script1:75)",
         "init_style": "torch", "seed": 0,
         "data": "ODE variants: AVR regulator (write_avr_dataset, seed 0); "
                 "DAE variants: SMIB generator (write_smib_dataset, seed 0)",
         "forward": "fused kernels for the four main variants; "
-                   "channel_impl=blockdiag XLA for the channel-wise pair",
+                   "channel_impl=einsum XLA for the channel-wise pair",
     }, "runs": {}}
     prior = {}
     if dst.exists():  # keep entries whose run dirs were cleaned from disk

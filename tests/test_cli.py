@@ -31,6 +31,34 @@ def test_parser_defaults_match_reference():
     assert args.epoch == 400 and args.step == 1001
 
 
+def test_remat_and_dcn_flags_reach_config(tmp_path, monkeypatch):
+    """--remat maps its string values onto the TrainConfig policy (false ->
+    False, true -> True, sqrt/adjoint pass through) and --dcn_size 0 means
+    'auto' (None)."""
+    captured = {}
+
+    class FakeTrainer:
+        def __init__(self, cfg):
+            captured["cfg"] = cfg
+
+        def train(self):
+            return None, None
+
+    import py_psnode_tpu.cli.common as C
+
+    monkeypatch.setattr(C, "Trainer", FakeTrainer)
+    base = ["--training", "--train_data", "a.npz", "--test_data", "b.npz"]
+    for flag, expect in (
+        ("false", False), ("true", True), ("sqrt", "sqrt"),
+        ("adjoint", "adjoint"),
+    ):
+        C.main("ode_no_encode", argv=base + ["--remat", flag])
+        assert captured["cfg"].remat == expect, flag
+    assert captured["cfg"].dcn_size is None
+    C.main("ode_no_encode", argv=base + ["--dcn_size", "2"])
+    assert captured["cfg"].dcn_size == 2
+
+
 def test_cli_multishoot_training_end_to_end(tmp_path):
     """--n_windows/--gap_weight reach the trainer: multishoot CLI run
     trains and checkpoints (K=4 windows over a 21-step series: (21-1)%4==0)."""
