@@ -7,8 +7,8 @@ samples, T=1001, batch 64, hidden 128, 400 epochs, Adam 5e-3 + StepLR, RK4,
 torch init, seed 0. ODE variants train on AVR regulator data, DAE variants
 on SMIB generator data (the two synthetic families standing in for the
 reference's PSOPS exports). The four main variants ride the fused kernels;
-the channel-wise pair rides XLA with channel_impl=blockdiag (its fast form —
-the fused cw kernel ties XLA, ACCURACY.md round-3).
+the channel-wise pair rides XLA with channel_impl=einsum (its fast form per
+suite entries 10a-10f) and the reference's published Euler solver.
 
 Each fused run is ~7.5 min wall on the v5e chip once compiles are cached;
 the channel-wise runs are substantially longer (XLA scan forward).

@@ -120,9 +120,11 @@ class PerChannelMLP(nn.Module):
         small batch).
       * ``"blockdiag"``: channels flattened into ONE wide ``[.., C·d] @
         [C·d, C·f]`` block-diagonal matmul per layer — C× the FLOPs but a
-        single full-width MXU op; wins in the latency-bound regime (small
-        B), loses in the compute-bound regime (fleet batches). Only applied
-        to h-wide layers (d_in ≥ 8); 1-wide codec layers keep the einsum.
+        single full-width MXU op. It helps the latency-bound FORWARD at
+        small batch, but over the full train step its gradient pays the
+        C×-FLOPs matmuls and einsum wins (suite 10a-10d, ACCURACY.md
+        round-4). Only applied to h-wide layers (d_in ≥ 8); 1-wide codec
+        layers keep the einsum.
     """
 
     n_channels: int

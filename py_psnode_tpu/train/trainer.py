@@ -121,9 +121,9 @@ class TrainConfig:
     # studies vs the reference; see models/initializers.py)
     init_style: str = "lecun"
     # channel-wise variants only — per-channel matmul form: "einsum"
-    # (minimal FLOPs) | "blockdiag" (one wide block-diagonal MXU dot per
-    # layer; the recommended train form at small batch — suite 10c/10d,
-    # ACCURACY.md round-3). Identical math either way.
+    # (minimal FLOPs; the measured fastest train form at the reference
+    # envelope — suite 10a-10d, ACCURACY.md round-4) | "blockdiag" (one
+    # wide block-diagonal MXU dot per layer). Identical math either way.
     channel_impl: str = "einsum"
     # structured metrics (train_metrics.jsonl) alongside the text logs
     jsonl_metrics: bool = True
@@ -281,9 +281,9 @@ class Trainer:
         dims = dataset_dims(self.variant, ds)
         kw = dict(solver=cfg.solver, remat=cfg.remat, unroll=cfg.unroll)
         if "channelwise" in self.variant.name:
-            # per-channel matmul form: "einsum" (minimal FLOPs) or
-            # "blockdiag" (one wide MXU dot; wins at small batch — see
-            # PerChannelMLP.impl and suite entries 10c/10d)
+            # per-channel matmul form: "einsum" (minimal FLOPs, fastest
+            # full train step — suite 10a-10d) or "blockdiag" (one wide
+            # MXU dot; see PerChannelMLP.impl)
             kw["channel_impl"] = cfg.channel_impl
         elif cfg.channel_impl != "einsum":
             raise ValueError(
