@@ -51,8 +51,12 @@ def probe(B, cap, h=128, T=251, precision=None, iters=5):
 
     orig = FD.choose_blocks
 
-    def patched(Bx, hx, n_streams, tb_max=None, cap_ignored=256, state_dim=0):
-        return orig(Bx, hx, n_streams, tb_max, cap, state_dim)
+    def patched(Bx, hx, n_streams, tb_max=None, cap=256, state_dim=0,
+                _probe_cap=cap):
+        # The bwd call sites pass cap=128 (fused_dae_vjp.py:457,486) — those
+        # are the ones this probe overrides; fwd sites keep their own cap.
+        eff = _probe_cap if cap == 128 else cap
+        return orig(Bx, hx, n_streams, tb_max, eff, state_dim)
 
     FD.choose_blocks = patched
     try:

@@ -398,7 +398,13 @@ def main():
 
     enable_compile_cache()
 
-    work = pathlib.Path(args.workdir or (REPO / "benchmarks" / "h2h_work"))
+    # Tag-suffixed workdir: tagged invocations (e.g. --tag _ti_s101) get a
+    # fully private data/model tree. Sharing one tree across seeds is unsafe
+    # twice over: data npz files are rewritten per seed (a concurrent reader
+    # sees a truncated file) and the trainer's orbax auto-resume will silently
+    # adopt a leftover epoch-N checkpoint from the previous seed's model dir.
+    work = pathlib.Path(args.workdir
+                        or (REPO / "benchmarks" / f"h2h_work{args.tag}"))
     ds_tag = "" if args.dataset == "default" else f"_{args.dataset}"
     data_dir = work / f"data_{args.variant}{ds_tag}"
     train_npz, test_npz = make_data(
