@@ -206,3 +206,38 @@ def test_adjoint_under_jit_and_sqrt_equivalence():
     gs = gradfn(mk("sqrt"))(params)
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_adjoint_memory_beats_plain_bptt():
+    """The point of the adjoint pass: compile-time temp memory of the grad
+    must sit FAR below plain no-remat BPTT (which stores every MLP
+    activation of every step, O(T*h)), and in the same class as per-step
+    jax.checkpoint. Measured via XLA's memory_analysis on the compiled
+    grad — deterministic, no execution needed (on-chip counterpart:
+    benchmarks/adjoint_bench.py)."""
+    batch = _dae_batch(B=8, T=201)
+    args = tuple(batch[k] for k in DAE_KEYS)
+    mk = lambda remat: DAEModel(
+        x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=128,
+        solver="rk4", remat=remat,
+    )
+    params = mk(True).init(jax.random.PRNGKey(0), *args)
+
+    def temp_bytes(model):
+        def f(p):
+            out = model.apply(p, *args)
+            return dae_no_encode_loss(out, batch)[0]
+
+        comp = jax.jit(jax.grad(f)).lower(params).compile()
+        mem = comp.memory_analysis()
+        if mem is None:  # backend without memory analysis: nothing to pin
+            pytest.skip("memory_analysis unavailable on this backend")
+        return mem.temp_size_in_bytes
+
+    plain = temp_bytes(mk(False))
+    ckpt = temp_bytes(mk(True))
+    adj = temp_bytes(mk("adjoint"))
+    # measured on XLA CPU (jax 0.9.0): plain 66.2 MB, ckpt 0.98 MB,
+    # adjoint 0.99 MB — assert the CLASS, not the exact bytes
+    assert adj < plain / 10, (adj, plain)
+    assert adj < ckpt * 3, (adj, ckpt)
