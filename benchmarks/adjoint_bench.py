@@ -25,27 +25,19 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def dae_batch(B, T, xd=2, zd=1, vd=2, idim=2, seed=0):
-    rng = np.random.default_rng(seed)
-    t = (np.cumsum(np.full((B, T, 1), 0.01), axis=1) - 0.01).astype(np.float32)
-    batch = {
-        "t": t,
-        "x": rng.normal(size=(B, T, xd)).astype(np.float32),
-        "z": rng.normal(size=(B, T, zd)).astype(np.float32),
-        "v": rng.normal(size=(B, T, vd)).astype(np.float32),
-        "i": rng.normal(size=(B, T, idim)).astype(np.float32),
-        "event_t": np.full((B, 2), -1.0, np.float32),
-        "z_jump": rng.normal(size=(B, 2, zd)).astype(np.float32),
-        "v_jump": rng.normal(size=(B, 2, vd)).astype(np.float32),
-        "mask": np.ones((B, T, xd), np.float32),
-        "sample_w": np.ones((B,), np.float32),
-    }
-    batch["event_t"][:, 0] = t[0, T // 3, 0]
+def dae_batch(B, T, xd=2):
+    """The suite's synthetic DAE batch (one definition — full_suite._batch)
+    plus the per-sample weights the trainer-side loss consumes."""
+    from benchmarks.full_suite import _batch
+
+    batch = _batch(np.random.default_rng(0), B, T, (xd, 1, 2, 2), True)
+    batch["mask"] = np.ones((B, T, xd), np.float32)
+    batch["sample_w"] = np.ones((B,), np.float32)
     return batch
 
 
 def run(T=4001, B=64, hidden=128, policies=("true", "sqrt", "adjoint"),
-        n_steps=10):
+        n_steps=20):  # >=20 chained steps — the axon timing rule (CLAUDE.md)
     import jax
     import jax.numpy as jnp
     import optax

@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def probe(B, cap, h=128, T=251, precision=None, iters=5):
+def probe(B, cap, h=128, T=251, precision=None, iters=20):
     import jax
     import jax.numpy as jnp
     import optax

@@ -45,7 +45,7 @@ def main():
         try:
             r = bench_config(
                 tag, "dae_no_encode", B, 1001, h, "rk4", True,
-                iters=10, precision=prec,
+                iters=20, precision=prec,
                 train_kw={"lr": 1e-3, "robust": True},
             )
             r["remote_compile_env"] = remote

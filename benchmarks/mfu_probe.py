@@ -38,7 +38,7 @@ def main():
         try:
             r = bench_config(
                 name, "dae_no_encode", B, T, h, "rk4", True,
-                iters=8, precision=prec,
+                iters=20, precision=prec,
                 train_kw={"lr": 1e-3, "robust": True},
             )
         except Exception as e:

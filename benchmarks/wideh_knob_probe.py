@@ -56,7 +56,7 @@ def run_case(tag, B, tuning):
     try:
         r = bench_config(
             tag, "dae_no_encode", B, 1001, 512, "rk4", True,
-            iters=15, precision="bf16_kernels", tuning=tuning,
+            iters=20, precision="bf16_kernels", tuning=tuning,
             train_kw={"lr": 1e-3, "robust": True},
         )
         r["wall_s"] = round(time.time() - t0, 1)
