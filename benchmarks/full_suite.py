@@ -131,7 +131,11 @@ def bench_config(
         prev_tuning = kernel_tuning()
         set_kernel_tuning(**tuning)
     from py_psnode_tpu.ops.fused_ode import fused_ode_apply, fused_ode_encode_apply
-    from py_psnode_tpu.train.optim import make_optimizer
+    from py_psnode_tpu.train.optim import (
+        make_optimizer,
+        robust_scalar_guard,
+        zero_nonfinite_grads,
+    )
     from py_psnode_tpu.train.variants import get_variant
 
     v = get_variant(variant_name)
@@ -290,21 +294,16 @@ def bench_config(
                 loss, aux = v.loss_fn(forward(p, b), b)
             raw = loss
             if robust:
-                # trainer's scalar robust guard (train/trainer.py): NaN ->
-                # zero-gradient zero loss; >1 -> direction-preserving
-                # normalization. The RAW loss is still what gets recorded.
-                nan = jnp.isnan(loss)
-                safe = jnp.where(nan, 0.0, loss)
-                over = safe > 1.0
-                denom = jax.lax.stop_gradient(jnp.where(over, safe, 1.0))
-                loss = jnp.where(nan, 0.0, jnp.where(over, safe / denom, safe))
+                # THE trainer's scalar robust guard (shared definition —
+                # train/optim.robust_scalar_guard), so the committed bench
+                # records measure exactly what production trains with. The
+                # RAW loss is still what gets recorded.
+                loss, _ = robust_scalar_guard(loss)
             return loss, raw
 
         (loss, raw), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         if robust:
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
-            )
+            grads = zero_nonfinite_grads(grads)
         u, o2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, u), o2, raw
 

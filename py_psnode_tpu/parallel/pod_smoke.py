@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 import numpy as np
@@ -288,7 +289,10 @@ def trainer_pod_run(workdir: str, dcn_size=None) -> str:
         l for l in (mdir / f"testing{sfx}.log").read_text().splitlines()
         if "x_loss_total" in l
     ]
-    x_loss = float(eval_lines[-1].rsplit(":", 1)[1].rstrip("."))
+    # DAE eval lines read "...: x_loss_total: X, i_loss_total: Y." — pull
+    # the x_loss FIELD, not the last colon field (which would be the i_loss)
+    m = re.search(r"x_loss_total:\s*([-+0-9.eE]+)", eval_lines[-1])
+    x_loss = float(m.group(1).rstrip("."))
     return (
         f"trainer_pod proc {pid}/{jax.process_count()}: "
         f"devices={jax.device_count()} final_eval_x_loss={x_loss:.9f}"

@@ -52,11 +52,11 @@ def _tree_zeros(tree):
 # ---------------------------------------------------------------------- ODE
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _adjoint_ode(stepper, f_conv, consts, t, x0, z_step):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _adjoint_ode(stepper, f_conv, unroll, consts, t, x0, z_step):
     """Solution ``[T, B, xd]`` of the plain (no-TF) rollout; identical math
     to ``integrate_ode``'s scan, bitwise included ``solution[0] == x0``."""
-    sol, _ = _ode_fwd_scan(stepper, f_conv, consts, t, x0, z_step)
+    sol, _ = _ode_fwd_scan(stepper, f_conv, consts, t, x0, z_step, unroll)
     return sol
 
 
@@ -65,23 +65,23 @@ def _ode_step(stepper, f_conv, consts, x_in, t0, t1, z0):
     return x_in + stepper(f, t0, t1 - t0, t1, x_in)
 
 
-def _ode_fwd_scan(stepper, f_conv, consts, t, x0, z_step):
+def _ode_fwd_scan(stepper, f_conv, consts, t, x0, z_step, unroll=1):
     def body(x_prev, inp):
         t0, t1, z0 = inp
         x1 = _ode_step(stepper, f_conv, consts, x_prev, t0, t1, z0)
         return x1, x1
 
-    _, xs = lax.scan(body, x0, (t[:-1], t[1:], z_step))
+    _, xs = lax.scan(body, x0, (t[:-1], t[1:], z_step), unroll=unroll)
     sol = jnp.concatenate([x0[None], xs], axis=0)
     return sol, None
 
 
-def _adjoint_ode_fwd(stepper, f_conv, consts, t, x0, z_step):
-    sol, _ = _ode_fwd_scan(stepper, f_conv, consts, t, x0, z_step)
+def _adjoint_ode_fwd(stepper, f_conv, unroll, consts, t, x0, z_step):
+    sol, _ = _ode_fwd_scan(stepper, f_conv, consts, t, x0, z_step, unroll)
     return sol, (consts, t, z_step, sol)
 
 
-def _adjoint_ode_bwd(stepper, f_conv, res, ct):
+def _adjoint_ode_bwd(stepper, f_conv, unroll, res, ct):
     consts, t, z_step, sol = res
 
     def body(carry, inp):
@@ -98,7 +98,7 @@ def _adjoint_ode_bwd(stepper, f_conv, res, ct):
     a0 = jnp.zeros_like(sol[0])
     inputs = (t[:-1], t[1:], z_step, sol[:-1], ct[1:])
     (x0_bar, cbar), (t0_bars, t1_bars, z0_bars) = lax.scan(
-        body, (a0, _tree_zeros(consts)), inputs, reverse=True
+        body, (a0, _tree_zeros(consts)), inputs, reverse=True, unroll=unroll
     )
     x0_bar = x0_bar + ct[0]  # sol[0] IS x0
     t_bar = jnp.zeros_like(t).at[:-1].add(t0_bars).at[1:].add(t1_bars)
@@ -108,27 +108,30 @@ def _adjoint_ode_bwd(stepper, f_conv, res, ct):
 _adjoint_ode.defvjp(_adjoint_ode_fwd, _adjoint_ode_bwd)
 
 
-def adjoint_integrate_ode(stepper, de_fn, t, x, z_step):
+def adjoint_integrate_ode(stepper, de_fn, t, x, z_step, unroll=1):
     """Drop-in for ``integrate_ode(..., remat="adjoint")`` (plain rollout;
     no teacher forcing). ``de_fn(t, x, z) -> dx/dt`` may capture traced
     values (params, conditioning) — they are closure-converted into
-    differentiable arguments."""
+    differentiable arguments. ``unroll`` is forwarded to both the forward
+    and the reverse scan (same knob as the scan path)."""
     x0 = x[0]
     f_conv, consts = jax.closure_convert(
         lambda tt, xx, zz: de_fn(tt, xx, zz), t[0], x0, z_step[0]
     )
-    return _adjoint_ode(get_stepper_obj(stepper), f_conv, consts, t, x0, z_step)
+    return _adjoint_ode(
+        get_stepper_obj(stepper), f_conv, int(unroll), consts, t, x0, z_step
+    )
 
 
 # ---------------------------------------------------------------------- DAE
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _adjoint_dae(stepper, de_conv, ae_conv, de_consts, ae_consts,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _adjoint_dae(stepper, de_conv, ae_conv, unroll, de_consts, ae_consts,
                  x_init, t, z, v, z_step, v_step, ev_f):
     (x_sol, i_sol), _ = _dae_fwd_scan(
         stepper, de_conv, ae_conv, de_consts, ae_consts,
-        x_init, t, z, v, z_step, v_step, ev_f,
+        x_init, t, z, v, z_step, v_step, ev_f, unroll,
     )
     return x_sol, i_sol
 
@@ -151,7 +154,7 @@ def _dae_step(stepper, de_conv, ae_conv, de_consts, ae_consts,
 
 
 def _dae_fwd_scan(stepper, de_conv, ae_conv, de_consts, ae_consts,
-                  x_init, t, z, v, z_step, v_step, ev_f):
+                  x_init, t, z, v, z_step, v_step, ev_f, unroll=1):
     x0 = x_init
     i0 = ae_conv(x0, z[0], v[0], *ae_consts)
 
@@ -165,23 +168,23 @@ def _dae_fwd_scan(stepper, de_conv, ae_conv, de_consts, ae_consts,
         return (x1, i1), (x1, i1)
 
     inputs = (t[:-1], t[1:], z_step, v_step, z[1:], v[1:], ev_f)
-    _, (xs, is_) = lax.scan(body, (x0, i0), inputs)
+    _, (xs, is_) = lax.scan(body, (x0, i0), inputs, unroll=unroll)
     x_sol = jnp.concatenate([x0[None], xs], axis=0)
     i_sol = jnp.concatenate([i0[None], is_], axis=0)
     return (x_sol, i_sol), None
 
 
-def _adjoint_dae_fwd(stepper, de_conv, ae_conv, de_consts, ae_consts,
+def _adjoint_dae_fwd(stepper, de_conv, ae_conv, unroll, de_consts, ae_consts,
                      x_init, t, z, v, z_step, v_step, ev_f):
     out, _ = _dae_fwd_scan(
         stepper, de_conv, ae_conv, de_consts, ae_consts,
-        x_init, t, z, v, z_step, v_step, ev_f,
+        x_init, t, z, v, z_step, v_step, ev_f, unroll,
     )
     res = (de_consts, ae_consts, t, z, v, z_step, v_step, ev_f, out)
     return out, res
 
 
-def _adjoint_dae_bwd(stepper, de_conv, ae_conv, res, cts):
+def _adjoint_dae_bwd(stepper, de_conv, ae_conv, unroll, res, cts):
     de_consts, ae_consts, t, z, v, z_step, v_step, ev_f, (x_sol, i_sol) = res
     ct_x, ct_i = cts
 
@@ -216,6 +219,7 @@ def _adjoint_dae_bwd(stepper, de_conv, ae_conv, res, cts):
         (a_x0, a_i0, _tree_zeros(de_consts), _tree_zeros(ae_consts)),
         inputs,
         reverse=True,
+        unroll=unroll,
     )
     # initial algebraic eval: i_sol[0] = ae(x_init, z[0], v[0])
     a_i = a_i + ct_i[0]
@@ -240,10 +244,11 @@ _adjoint_dae.defvjp(_adjoint_dae_fwd, _adjoint_dae_bwd)
 
 
 def adjoint_integrate_dae(stepper, de_fn, ae_fn, x_init, t, z, v,
-                          z_step, v_step, is_event=None):
+                          z_step, v_step, is_event=None, unroll=1):
     """Drop-in for ``integrate_dae(..., remat="adjoint")`` (plain rollout;
     no teacher forcing). Dynamics/algebraic closures may capture traced
-    values — they are closure-converted into differentiable arguments."""
+    values — they are closure-converted into differentiable arguments.
+    ``unroll`` is forwarded to both the forward and the reverse scan."""
     T, B = t.shape[0], t.shape[1]
     ev_f = (
         jnp.zeros((T - 1, B), t.dtype)
@@ -262,8 +267,8 @@ def adjoint_integrate_dae(stepper, de_fn, ae_fn, x_init, t, z, v,
         lambda xx, zz, vv: ae_fn(xx, zz, vv), x_init, z[0], v[0]
     )
     return _adjoint_dae(
-        get_stepper_obj(stepper), de_conv, ae_conv, de_consts, ae_consts,
-        x_init, t, z, v, z_step, v_step, ev_f,
+        get_stepper_obj(stepper), de_conv, ae_conv, int(unroll),
+        de_consts, ae_consts, x_init, t, z, v, z_step, v_step, ev_f,
     )
 
 

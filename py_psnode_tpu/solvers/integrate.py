@@ -141,7 +141,8 @@ def integrate_ode(
             )
         from py_psnode_tpu.solvers.adjoint import adjoint_integrate_ode
 
-        return adjoint_integrate_ode(stepper, de_fn, t, x, z_step)
+        return adjoint_integrate_ode(stepper, de_fn, t, x, z_step,
+                                     unroll=unroll)
     x0 = x[0]
 
     def body(x_prev, inp):
@@ -208,7 +209,8 @@ def integrate_dae(
         from py_psnode_tpu.solvers.adjoint import adjoint_integrate_dae
 
         return adjoint_integrate_dae(
-            stepper, de_fn, ae_fn, x_init, t, z, v, z_step, v_step, is_event
+            stepper, de_fn, ae_fn, x_init, t, z, v, z_step, v_step, is_event,
+            unroll=unroll,
         )
     T = t.shape[0]
     x0 = x_init

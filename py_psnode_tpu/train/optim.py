@@ -99,3 +99,36 @@ def reference_grad_norm(grads, clip: float = 1.0) -> jnp.ndarray:
 
     l1s = jnp.stack([leaf_l1(g) for g in leaves])
     return jnp.linalg.norm(l1s)
+
+
+def robust_scalar_guard(loss: jnp.ndarray, limit: float = 1.0):
+    """Scalar-loss adaptation of the reference's never-wired robust guard
+    (ref utils.py:29-42; see the trainer docstring for why the verbatim
+    per-element form is degenerate for a scalar training loss).
+
+    NaN -> 0.0 (a zero-gradient zero step); ``loss > limit`` -> the
+    direction-preserving normalization ``loss / stop_grad(loss)``; otherwise
+    the loss passes through untouched. Returns ``(guarded_loss, tripped)``.
+
+    One definition shared by the trainer and the benchmark suite so the
+    committed bench records always measure the guard production trains with.
+    """
+    nan = jnp.isnan(loss)
+    safe = jnp.where(nan, 0.0, loss)
+    over = safe > limit
+    denom = jax.lax.stop_gradient(jnp.where(over, safe, 1.0))
+    guarded = jnp.where(nan, 0.0, jnp.where(over, safe / denom, safe))
+    return guarded, jnp.logical_or(nan, over)
+
+
+def zero_nonfinite_grads(grads):
+    """The loss-level NaN guard alone cannot deliver its promised
+    "zero-gradient step": a NaN born in the forward rollout reaches the
+    cotangents as ``0 * NaN = NaN`` through the ``where()`` (standard JAX
+    where-grad pitfall), and one NaN gradient poisons Adam's moments — every
+    later step is NaN even though the tripped step's params were frozen.
+    Zero the nonfinite gradient entries so the optimizer state advances with
+    genuinely zero gradients on a tripped step."""
+    return jax.tree_util.tree_map(
+        lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+    )

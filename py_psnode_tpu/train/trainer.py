@@ -40,7 +40,12 @@ from py_psnode_tpu.parallel.mesh import (
     pad_batch,
 )
 from py_psnode_tpu.train import evaluate as E
-from py_psnode_tpu.train.optim import make_optimizer, reference_grad_norm
+from py_psnode_tpu.train.optim import (
+    make_optimizer,
+    reference_grad_norm,
+    robust_scalar_guard,
+    zero_nonfinite_grads,
+)
 from py_psnode_tpu.train.variants import Variant, dataset_dims, get_variant
 from py_psnode_tpu.utils.logging import Logger
 from py_psnode_tpu.utils.profiling import JsonlMetrics
@@ -557,12 +562,7 @@ class Trainer:
 
             def loss_of(params, batch):
                 loss, aux = base_loss_of(params, batch)
-                nan = jnp.isnan(loss)
-                safe = jnp.where(nan, 0.0, loss)
-                over = safe > robust_limit
-                denom = jax.lax.stop_gradient(jnp.where(over, safe, 1.0))
-                rloss = jnp.where(nan, 0.0, jnp.where(over, safe / denom, safe))
-                tripped = jnp.logical_or(nan, over)
+                rloss, tripped = robust_scalar_guard(loss, robust_limit)
                 aux = dict(aux, robust_tripped=tripped.astype(jnp.float32))
                 return rloss, aux
 
@@ -571,17 +571,9 @@ class Trainer:
                 params, batch
             )
             if cfg.robust_loss:
-                # The loss-level NaN guard alone cannot deliver its promised
-                # "zero-gradient step": a NaN born in the forward rollout
-                # reaches the cotangents as 0*NaN = NaN through the where()
-                # (standard JAX where-grad pitfall), and one NaN gradient
-                # poisons Adam's moments — every later step is NaN even
-                # though the tripped step's params were frozen. Zero the
-                # nonfinite gradient entries so the optimizer state advances
-                # with genuinely zero gradients on a tripped step.
-                grads = jax.tree_util.tree_map(
-                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
-                )
+                # see optim.zero_nonfinite_grads: a forward NaN must not
+                # poison Adam's moments through the where-grad pitfall
+                grads = zero_nonfinite_grads(grads)
             gnorm = reference_grad_norm(grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
@@ -641,6 +633,14 @@ class Trainer:
         static shape anyway)."""
         n = len(test_ds)
         b = n if n <= 512 else max(int(n / 10), 1)
+        if self.variant.name == "dae_channelwise":
+            # This family's AE vertical net materializes [T, b, h, h]
+            # activations (funcs.ChannelWiseAEFunc.yh_func_v applied across
+            # the whole solution), so a whole-test-set eval batch OOMs HBM
+            # at the reference envelope: f32[1001,320,128,128] = 21 GB.
+            # The training batch is proven to fit (it BACKPROPS through the
+            # same net), so cap the forward-only eval there.
+            b = min(b, self.cfg.batch)
         if self.mesh is not None:
             d = self._batch_div()
             b = -(-b // d) * d
@@ -821,6 +821,27 @@ class Trainer:
                 start_epoch = ep + 1
                 break
 
+        # multi-controller resume must be CONSISTENT: npz snapshots are
+        # written by process 0 only, so on a pod without a shared model dir
+        # each process would scan a different checkpoint set, pick different
+        # start epochs, and run different numbers of global steps — SPMD
+        # divergence that hangs on the first collective of the extra epoch.
+        # Broadcast process 0's decision and fail fast on any mismatch.
+        if cfg.auto_resume and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            lead_start = int(
+                multihost_utils.broadcast_one_to_all(np.int32(start_epoch))
+            )
+            if lead_start != start_epoch:
+                raise RuntimeError(
+                    f"auto-resume divergence: process {self.proc_id} found "
+                    f"start_epoch={start_epoch} but process 0 found "
+                    f"{lead_start}. Multi-host auto-resume requires a SHARED "
+                    "model dir (npz snapshots are lead-written; orbax also "
+                    "assumes one filesystem)."
+                )
+
         # multi-controller: process 0 keeps the reference log names; other
         # processes write to *.procN.log files (same content is computed
         # everywhere — the replicated loss fetches are global reads)
@@ -857,6 +878,13 @@ class Trainer:
             device_data = None
         train_step = self._make_train_step(model, tx, device_data=device_data)
         apply_fn_factory = self._make_eval_apply(model, test_ds)
+        # want_preds must be UNIFORM across processes: it is a static arg of
+        # the jitted eval forward, whose in/out shardings span the global pod
+        # mesh — gating it per-process would make process 0 launch a program
+        # (extra pred outputs + their all-gather) the others never enter, and
+        # the first eval would deadlock the pod. Only the jpg WRITES are
+        # lead-gated, via pic_path.
+        want_eval_preds = bool(cfg.drawing)
         pic_path = model_path / "pics" if cfg.drawing and self.is_lead else None
         eval_fn = E.evaluate_dae if variant.kind == "dae" else E.evaluate_ode
 
@@ -873,7 +901,7 @@ class Trainer:
         logger.testing_log("Initial evaluate on testing set.")
         eval_error_list.append(
             eval_fn(
-                apply_fn_factory(params, want_preds=pic_path is not None),
+                apply_fn_factory(params, want_preds=want_eval_preds),
                 test_ds, eval_batch, logger,
                 desc="Testing_Epoch_0", pic_path=pic_path,
                 show_larger_than=self.larger_than,
@@ -983,7 +1011,7 @@ class Trainer:
             logger.testing_log(f"Training Epoch {epoch}, evaluate on testing set.")
             eval_error_list.append(
                 eval_fn(
-                    apply_fn_factory(params, want_preds=pic_path is not None),
+                    apply_fn_factory(params, want_preds=want_eval_preds),
                     test_ds, eval_batch, logger,
                     desc=f"Testing_Epoch_{epoch}", pic_path=pic_path,
                     show_larger_than=self.larger_than,

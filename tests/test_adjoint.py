@@ -241,3 +241,27 @@ def test_adjoint_memory_beats_plain_bptt():
     # adjoint 0.99 MB — assert the CLASS, not the exact bytes
     assert adj < plain / 10, (adj, plain)
     assert adj < ckpt * 3, (adj, ckpt)
+
+
+def test_adjoint_unroll_equivalence():
+    """unroll is forwarded to the adjoint's forward AND reverse scans
+    (previously dropped silently); math must be unchanged by it."""
+    batch = _dae_batch(T=17)
+    args = tuple(batch[k] for k in DAE_KEYS)
+    mk = lambda unroll: DAEModel(
+        x_dim=2, z_dim=1, v_dim=2, i_dim=2, hidden_dim=16,
+        solver="rk4", remat="adjoint", unroll=unroll,
+    )
+    params = mk(1).init(jax.random.PRNGKey(0), *args)
+
+    def gradfn(model):
+        def f(p):
+            out = model.apply(p, *args)
+            return dae_no_encode_loss(out, batch)[0]
+        return jax.jit(jax.value_and_grad(f))
+
+    l1, g1 = gradfn(mk(1))(params)
+    l4, g4 = gradfn(mk(4))(params)
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g4), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)

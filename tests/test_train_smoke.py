@@ -604,3 +604,18 @@ def test_record_window_partial_tail_dropped_like_reference(avr_data, tmp_path):
     assert windows == [("1", "0to2"), ("2", "0to2")], windows
     hist = np.load(model_path / "train_and_eval.npz", allow_pickle=True)
     assert len(hist["train"]) == 2
+
+
+def test_channelwise_dae_eval_batch_capped(smib_data, tmp_path):
+    """dae_channelwise's AE vertical net materializes [T, b, h, h] eval
+    activations (funcs.ChannelWiseAEFunc.yh_func_v), so a whole-test-set
+    eval batch OOMs HBM at the reference envelope (f32[1001,320,128,128] =
+    21 GB — hit by the round-4 envelope run). The trainer must cap this
+    family's eval batch at the training batch, which backprop has proven to
+    fit; other families keep the reference N/10-or-whole-set rule."""
+    tr = Trainer(_cfg("dae_channelwise", smib_data, tmp_path / "m"))
+    ds = tr.load_test_dataset()
+    assert len(ds) == 12  # > batch=8, so the cap must engage
+    assert tr._eval_batch_size(ds) <= tr.cfg.batch
+    tr2 = Trainer(_cfg("dae_no_encode", smib_data, tmp_path / "m2"))
+    assert tr2._eval_batch_size(tr2.load_test_dataset()) == 12
