@@ -46,9 +46,13 @@ VARIANTS = (
     "ode_no_encode", "ode_encode", "dae_no_encode", "dae_encode",
     "ode_channelwise", "dae_channelwise",
 )
-# which tags each variant runs (dae_no_encode carries the round-3 ms study)
+# which tags each variant runs (dae_no_encode carries the round-3 ms study;
+# dae_channelwise runs ms because BOTH BPTT modes diverge at the envelope —
+# plain NaN at eval epoch 105, robust at 33 — making it the decision rule's
+# third branch: multishoot required)
 VARIANT_TAGS = {v: ("plain", "robust") for v in VARIANTS}
 VARIANT_TAGS["dae_no_encode"] = ("plain", "ms", "robust")
+VARIANT_TAGS["dae_channelwise"] = ("plain", "robust", "ms")
 
 # round-3 model-dir names kept for dae_no_encode so its committed summary
 # stays reproducible from the same paths
