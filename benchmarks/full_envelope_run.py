@@ -206,6 +206,12 @@ def summarize():
                 rec["first_nan_eval_epoch"] = int(
                     np.argmax(~np.isfinite(evals[:, 0]))
                 )
+            fin = np.isfinite(evals[:, 0])
+            if fin.any():  # best finite eval + where (early-stop evidence
+                # for diverging/oscillating runs; rows index = eval epoch)
+                best = int(np.nanargmin(np.where(fin, evals[:, 0], np.nan)))
+                rec["best_eval_x"] = float(evals[best, 0])
+                rec["best_eval_epoch"] = best
             out["runs"][key] = rec
     dst.write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))

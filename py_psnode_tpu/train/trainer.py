@@ -154,7 +154,11 @@ class TrainConfig:
     # gap_weight=0.3; keep windows >= ~50 steps — 25-step windows
     # under-constrain the rollout and diverge) when the epoch/wall-clock
     # budget is SMALL (it beats BPTT's final loss within ~30 epochs at ~3x
-    # less wall clock) or when guarded BPTT still diverges on your data.
+    # less wall clock) or when guarded BPTT still diverges on your data
+    # (measured instance: dae_channelwise at the full envelope — plain AND
+    # guarded BPTT both hit NaN; multishoot is the one option that
+    # survives the full budget, though its stitched full-rollout eval
+    # stays noisy on that family — ACCURACY.md round-4).
     n_windows: Optional[int] = None
     gap_weight: float = 1.0
     # keep the whole training set resident on device and gather batches by
