@@ -58,23 +58,40 @@ def run(T=4001, B=64, hidden=128, policies=("true", "sqrt", "adjoint"),
     }
 
     for pol in policies:
+        # "fused"/"fused_bf16" rows complete the policy matrix with the
+        # Pallas kernel pair (its VJP keeps O(T*state) residual streams
+        # natively — no remat knob; round-4 verdict asked for these rows)
+        fused = pol.startswith("fused")
         remat = {"true": True, "false": False}.get(pol, pol)
         model = DAEModel(x_dim=2, z_dim=1, v_dim=2, i_dim=2,
-                         hidden_dim=hidden, solver="rk4", remat=remat)
+                         hidden_dim=hidden, solver="rk4",
+                         remat=False if fused else remat)
         params = model.init(jax.random.PRNGKey(0), *args)
         tx = make_optimizer(5e-3, epochs=1, steps_per_epoch=1)
         opt_state = tx.init(params)
 
-        def step(params, opt_state, b):
+        if fused:
+            from py_psnode_tpu.ops import fused_dae_apply
+
+            precision = "bfloat16" if pol == "fused_bf16" else "default"
+            fwd = lambda p, b: fused_dae_apply(
+                p, b, (2, 1, 2, 2), hidden, solver="rk4",
+                precision=precision,
+            )
+        else:
+            fwd = lambda p, b: model.apply(p, *[b[k] for k in keys])
+
+        def step(params, opt_state, b, fwd=fwd):
             def loss_of(p):
-                out = model.apply(p, *[b[k] for k in keys])
-                return dae_no_encode_loss(out, b)
+                return dae_no_encode_loss(fwd(p, b), b)
 
             (loss, _), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
             updates, opt_state2 = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state2, loss
 
-        rec = {}
+        rec = {"path": "fused_pallas" if fused else "xla_scan"}
+        if pol == "fused_bf16":
+            rec["kernel_compute"] = "bfloat16"
         try:
             t0 = time.perf_counter()
             compiled = jax.jit(step, donate_argnums=(0, 1)).lower(
@@ -116,6 +133,12 @@ def run(T=4001, B=64, hidden=128, policies=("true", "sqrt", "adjoint"),
         print(json.dumps({pol: rec}), flush=True)
 
     dst = pathlib.Path("benchmarks/adjoint_bench.json")
+    if dst.exists():  # merge: partial re-runs extend the policy matrix
+        prior = json.loads(dst.read_text())
+        if prior.get("config", {}).get("T") == T:
+            results["policies"] = {
+                **prior.get("policies", {}), **results["policies"]
+            }
     dst.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1))
 

@@ -174,10 +174,13 @@ def summarize():
             key = f"{variant}:{tag}"
             f = model_dir(variant, tag) / "train_and_eval.npz"
             if not f.exists():
+                # Carried-over entries are tagged so a protocol change plus
+                # a partial re-run can't silently mix old and new records
+                # under identical-looking keys.
                 if key in prior:
-                    out["runs"][key] = prior[key]
+                    out["runs"][key] = dict(prior[key], from_prior=True)
                 elif variant == "dae_no_encode" and tag in prior:
-                    out["runs"][key] = prior[tag]  # round-3 key format
+                    out["runs"][key] = dict(prior[tag], from_prior=True)
                 continue
             hist = np.load(f, allow_pickle=True)
             # eval rows: ODE [x_loss_total, per-sample]; DAE adds i_loss at

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--step", type=int, default=1001,
                         help="Length of training series. Default 1001.")
     # TPU-native extras
+    parser.add_argument("--stop_after", type=int, default=0,
+                        help="Stop after this many epochs while keeping the "
+                             "FULL --epoch lr schedule (truncated protocol "
+                             "studies / budget-limited runs). 0 = run all "
+                             "--epoch epochs.")
     parser.add_argument("--solver", type=str, default="euler",
                         help="Fixed-grid stepper: euler | midpoint | rk4. Default euler.")
     parser.add_argument("--devices", type=int, default=0,
@@ -106,6 +111,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "(ref utils.py:29-42): NaN losses take a "
                              "zero-gradient step; losses above 1 are "
                              "gradient-direction-normalized.")
+    parser.add_argument("--robust_limit", type=float, default=None,
+                        help="Robust-guard normalization threshold (with "
+                             "--robust_loss): losses above it take the "
+                             "direction-preserving unit step. Default 1.0. "
+                             "Raise (e.g. 5-10) to guard only blow-ups "
+                             "while keeping real loss magnitudes early in "
+                             "training.")
+    parser.add_argument("--gradient_clip", type=float, default=None,
+                        help="Opt-in PRE-update per-parameter-tensor L2 "
+                             "clip (optax). The reference's clip runs "
+                             "after opt.step() and is a documented no-op "
+                             "(optim.py); this one actually bounds the "
+                             "update.")
     parser.add_argument("--init_style", default="lecun",
                         choices=("lecun", "torch"),
                         help="Weight init: flax default (lecun_normal, "
@@ -200,6 +218,7 @@ def main(variant: str, argv=None):
         batch=args.batch,
         hidden=args.hidden,
         epoch=args.epoch,
+        stop_after=args.stop_after or None,
         step=args.step,
         learning_rate=args.lr,
         solver=args.solver,
@@ -217,6 +236,8 @@ def main(variant: str, argv=None):
         n_windows=args.n_windows or None,
         gap_weight=args.gap_weight,
         robust_loss=args.robust_loss,
+        robust_limit=args.robust_limit,
+        gradient_clip=args.gradient_clip,
         init_style=args.init_style,
         channel_impl=args.channel_impl,
         progress=True,

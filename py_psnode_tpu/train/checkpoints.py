@@ -39,6 +39,70 @@ def latest_checkpoint(model_dir) -> Optional[Tuple[int, pathlib.Path]]:
     return found[0] if found else None
 
 
+def best_checkpoint(model_dir):
+    """Pick the SAVED checkpoint with the lowest finite eval x-loss.
+
+    Reads the run's ``train_and_eval.npz`` history (eval row ``r`` is the
+    eval logged right after ``model_checkpoint.r`` was saved; row 0 is the
+    pre-training eval, which has no checkpoint). Only epochs whose
+    checkpoint still exists on disk compete, so orbax retention pruning or
+    manual cleanup degrade gracefully to the best *available* epoch. This
+    is the early-stop restore path for diverging runs (e.g. dae_channelwise
+    at the reference envelope, ACCURACY.md): the best epoch's params are on
+    disk even though the final ones are NaN.
+
+    Returns ``(epoch, path, eval_x)`` or ``None`` when there is no history,
+    no checkpoint, or no finite eval.
+    """
+    import numpy as np
+
+    model_dir = pathlib.Path(model_dir)
+    hist_f = model_dir / "train_and_eval.npz"
+    saved = dict(
+        (ep, p) for ep, p in list_checkpoints(model_dir)
+    )
+    if not hist_f.exists() or not saved:
+        return None
+    hist = np.load(hist_f, allow_pickle=True)
+    best = None
+    for row, e in enumerate(hist["eval"]):
+        if row == 0 or row not in saved:  # row 0 = pre-training eval
+            continue
+        x = float(np.asarray(e[0], np.float64))
+        if np.isfinite(x) and (best is None or x < best[2]):
+            best = (row, saved[row], x)
+    return best
+
+
+def resolve_checkpoint(path) -> pathlib.Path:
+    """Resolve a ``--model`` argument to a concrete checkpoint.
+
+    A ``model_checkpoint.{epoch}`` file or orbax dir passes through
+    unchanged (exact reference behavior, ref script1:406-450). A RUN
+    directory (one holding ``train_and_eval.npz`` + checkpoints) resolves
+    to its best-eval epoch via :func:`best_checkpoint` — one command
+    restores the best params of any run without fishing the epoch out of
+    the logs by hand.
+    """
+    path = pathlib.Path(path)
+    if not path.is_dir() or re.fullmatch(r"model_checkpoint\.\d+", path.name):
+        return path
+    best = best_checkpoint(path)
+    if best is None:
+        raise FileNotFoundError(
+            f"{path} is a directory but holds no (train_and_eval.npz + "
+            "model_checkpoint.<epoch>) pair with a finite eval — point "
+            "--model at a checkpoint file/orbax dir or a completed run dir"
+        )
+    epoch, ckpt, eval_x = best
+    print(
+        f"--model {path}: selected best-eval checkpoint epoch {epoch} "
+        f"(eval x_loss {eval_x:.6g}) -> {ckpt}",
+        flush=True,
+    )
+    return ckpt
+
+
 def load_checkpoint_params(path):
     """Load model params from either checkpoint format: a single-file npz
     snapshot (reference name parity) or an orbax checkpoint directory
@@ -111,3 +175,9 @@ class OrbaxCheckpointer:
                 import shutil
 
                 shutil.rmtree(p, ignore_errors=True)
+
+
+if __name__ == "__main__":  # python -m py_psnode_tpu.train.checkpoints <run_dir>
+    import sys
+
+    print(resolve_checkpoint(sys.argv[1]))

@@ -106,19 +106,21 @@ def robust_scalar_guard(loss: jnp.ndarray, limit: float = 1.0):
     (ref utils.py:29-42; see the trainer docstring for why the verbatim
     per-element form is degenerate for a scalar training loss).
 
-    NaN -> 0.0 (a zero-gradient zero step); ``loss > limit`` -> the
-    direction-preserving normalization ``loss / stop_grad(loss)``; otherwise
-    the loss passes through untouched. Returns ``(guarded_loss, tripped)``.
+    Nonfinite (NaN or +/-inf) -> 0.0 (a zero-gradient zero step);
+    ``loss > limit`` -> the direction-preserving normalization
+    ``loss / stop_grad(loss)``; otherwise the loss passes through untouched.
+    Returns ``(guarded_loss, tripped)``. An inf loss must take the zero-step
+    branch, not the over-limit branch: inf/stop_grad(inf) is NaN.
 
     One definition shared by the trainer and the benchmark suite so the
     committed bench records always measure the guard production trains with.
     """
-    nan = jnp.isnan(loss)
-    safe = jnp.where(nan, 0.0, loss)
+    nonfinite = ~jnp.isfinite(loss)
+    safe = jnp.where(nonfinite, 0.0, loss)
     over = safe > limit
     denom = jax.lax.stop_gradient(jnp.where(over, safe, 1.0))
-    guarded = jnp.where(nan, 0.0, jnp.where(over, safe / denom, safe))
-    return guarded, jnp.logical_or(nan, over)
+    guarded = jnp.where(nonfinite, 0.0, jnp.where(over, safe / denom, safe))
+    return guarded, jnp.logical_or(nonfinite, over)
 
 
 def zero_nonfinite_grads(grads):

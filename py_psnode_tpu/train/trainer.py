@@ -68,6 +68,12 @@ class TrainConfig:
     batch: int = 64
     hidden: int = 128
     epoch: int = 400
+    # stop training after this many epochs while keeping the FULL cfg.epoch
+    # lr schedule (StepLR decay points, checkpoints, logs are exactly the
+    # full run's first N epochs). For truncated envelope studies and
+    # budget-limited runs — sizing the schedule by a reduced --epoch decays
+    # the lr faster, making short runs non-predictive of the full protocol.
+    stop_after: Optional[int] = None
     step: int = 1001
     learning_rate: float = 5e-3
     sch_gamma: float = 0.7
@@ -192,6 +198,32 @@ class Trainer:
             raise ValueError(
                 "teacher forcing and multi-shooting are mutually exclusive "
                 "(multi-shooting IS windowed teacher forcing)"
+            )
+        # The fused kernels carry their own memory policy (the fused VJP
+        # stores O(T·state) residual streams, not O(T·width) activations —
+        # ops/fused_dae_vjp.py) and never consult cfg.remat, so asking for
+        # a specific XLA-scan policy alongside --fused is a contradiction:
+        # error on the explicit adjoint request, warn on the rest.
+        if cfg.fused and cfg.remat == "adjoint":
+            raise ValueError(
+                "remat='adjoint' is an XLA-scan-path policy; the fused "
+                "kernels ignore remat (their VJP already keeps only "
+                "O(T*state) residuals). Drop --fused to train with the "
+                "adjoint pass, or drop --remat adjoint to keep the fused "
+                "kernels (see MIGRATION.md: fused x remat)."
+            )
+        if (
+            cfg.fused
+            and cfg.remat is not True
+            # the one fused config that still rides the XLA scan (and so
+            # honors remat): channel-wise multishoot has no fused kernel
+            and not (cfg.n_windows and "channelwise" in cfg.variant)
+        ):
+            import logging as _logging
+
+            _logging.getLogger("py_psnode_tpu").warning(
+                "remat=%r is ignored on the fused path: the fused VJP is "
+                "its own memory policy (O(T*state) residuals).", cfg.remat,
             )
         if (cfg.fwd_lanes, cfg.time_block) != (None, None):
             from py_psnode_tpu.ops.fused_dae import set_kernel_tuning
@@ -637,11 +669,11 @@ class Trainer:
         static shape anyway)."""
         n = len(test_ds)
         b = n if n <= 512 else max(int(n / 10), 1)
-        if self.variant.name == "dae_channelwise":
-            # This family's AE vertical net materializes [T, b, h, h]
-            # activations (funcs.ChannelWiseAEFunc.yh_func_v applied across
-            # the whole solution), so a whole-test-set eval batch OOMs HBM
-            # at the reference envelope: f32[1001,320,128,128] = 21 GB.
+        if self.variant.eval_batch_capped:
+            # The variant's forward materializes [T, b, h, h] activations
+            # (funcs.ChannelWiseAEFunc.yh_func_v applied across the whole
+            # solution), so a whole-test-set eval batch OOMs HBM at the
+            # reference envelope: f32[1001,320,128,128] = 21 GB.
             # The training batch is proven to fit (it BACKPROPS through the
             # same net), so cap the forward-only eval there.
             b = min(b, self.cfg.batch)
@@ -915,7 +947,14 @@ class Trainer:
         logger.training_log(f"Start training {variant.name} model")
         logger.training_log("=" * 86)
 
-        epochs = range(start_epoch, cfg.epoch + 1)
+        last_epoch = cfg.epoch
+        if cfg.stop_after is not None:
+            # truncated run UNDER the full cfg.epoch schedule: the lr decay,
+            # checkpoints, and logs are exactly the full run's first N epochs
+            # (sizing the schedule by a reduced --epoch instead would decay
+            # the lr faster and make the truncation non-predictive)
+            last_epoch = min(last_epoch, int(cfg.stop_after))
+        epochs = range(start_epoch, last_epoch + 1)
         if cfg.progress:
             epochs = tqdm(epochs, desc="Epoch", ncols=80)
         def _epoch_steps(epoch):
@@ -1067,9 +1106,13 @@ class Trainer:
         test_ds = self.load_test_dataset()
         eval_batch = self._eval_batch_size(test_ds)
         model, _, dims = self.build_model(test_ds)
-        model_path = pathlib.Path(cfg.model)
-        from py_psnode_tpu.train.checkpoints import load_checkpoint_params
+        from py_psnode_tpu.train.checkpoints import (
+            load_checkpoint_params,
+            resolve_checkpoint,
+        )
 
+        # a run DIRECTORY resolves to its best-eval epoch (early-stop restore)
+        model_path = resolve_checkpoint(pathlib.Path(cfg.model))
         params = load_checkpoint_params(model_path)
         pic_path = model_path.parent / "pics" if cfg.drawing else None
         logger = Logger(
@@ -1109,9 +1152,12 @@ class Trainer:
         cfg, variant = self.cfg, self.variant
         test_ds = self.load_test_dataset()
         model, _, dims = self.build_model(test_ds)
-        model_path = pathlib.Path(cfg.model)
-        from py_psnode_tpu.train.checkpoints import load_checkpoint_params
+        from py_psnode_tpu.train.checkpoints import (
+            load_checkpoint_params,
+            resolve_checkpoint,
+        )
 
+        model_path = resolve_checkpoint(pathlib.Path(cfg.model))
         params = load_checkpoint_params(model_path)
         variant.export_fn(model, params, dims, model_path.parent / "saved model")
         return model_path.parent / "saved model"

@@ -47,6 +47,11 @@ class Variant:
     make_model: Callable
     loss_fn: Callable
     export_fn: Callable  # (model, params, dims, path) -> None
+    # The forward materializes [T, b, h, h] activations (channel-wise AE
+    # vertical net applied across the whole solution), so an uncapped
+    # whole-test-set eval batch OOMs HBM at the reference envelope. Any
+    # variant with that shape must set this, not rely on its name.
+    eval_batch_capped: bool = False
 
     @property
     def loss_keys(self):
@@ -265,6 +270,7 @@ VARIANTS = {
         ),
         loss_fn=L.dae_channelwise_loss,
         export_fn=_export_dae_channelwise,
+        eval_batch_capped=True,
     ),
 }
 

@@ -100,3 +100,57 @@ def test_stablehlo_artifact_roundtrip(tmp_path, rng):
     got = exp.call(params["params"], x)
     expected = codec.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-6)
+
+
+def _fake_run_dir(tmp_path, rng, evals, save_epochs):
+    """A run dir with a trainer-shaped train_and_eval.npz (eval row 0 is the
+    pre-training eval) and npz checkpoints for ``save_epochs``."""
+    rows = [np.asarray([x, x * 0.5]) for x in evals]
+    np.savez(
+        str(tmp_path / "train_and_eval.npz"),
+        train=np.array([], dtype=object),
+        eval=np.array(rows, dtype=object),
+    )
+    for ep in save_epochs:
+        save_params_npz(tmp_path / f"model_checkpoint.{ep}", _params(rng))
+    return tmp_path
+
+
+def test_best_checkpoint_selection(tmp_path, rng):
+    from py_psnode_tpu.train.checkpoints import best_checkpoint
+
+    # pre-train 9.0; epochs 1..4: 0.5, 0.2, NaN, 0.4 -> best is epoch 2
+    _fake_run_dir(tmp_path, rng, [9.0, 0.5, 0.2, np.nan, 0.4], [1, 2, 3, 4])
+    ep, path, x = best_checkpoint(tmp_path)
+    assert ep == 2 and path.name == "model_checkpoint.2" and x == 0.2
+
+
+def test_best_checkpoint_pruned_epoch_falls_back(tmp_path, rng):
+    """Only SAVED epochs compete: with the true-best checkpoint pruned
+    (orbax retention / manual cleanup) the best remaining epoch wins."""
+    from py_psnode_tpu.train.checkpoints import best_checkpoint
+
+    _fake_run_dir(tmp_path, rng, [9.0, 0.5, 0.2, np.nan, 0.4], [1, 4])
+    ep, path, x = best_checkpoint(tmp_path)
+    assert ep == 4 and x == 0.4
+
+
+def test_resolve_checkpoint(tmp_path, rng):
+    from py_psnode_tpu.train.checkpoints import resolve_checkpoint
+
+    (tmp_path / "run").mkdir()
+    run = _fake_run_dir(tmp_path / "run", rng, [9.0, 0.5, 0.2], [1, 2])
+    # run dir -> best epoch; explicit checkpoint path passes through
+    assert resolve_checkpoint(run).name == "model_checkpoint.2"
+    ck = run / "model_checkpoint.1"
+    assert resolve_checkpoint(ck) == ck
+    # a dir with no history/checkpoints raises the actionable error
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(tmp_path / "empty")
+    # all-NaN evals: no finite epoch -> same actionable error
+    bad = tmp_path / "allnan"
+    bad.mkdir()
+    _fake_run_dir(bad, rng, [np.nan, np.nan], [1])
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint(bad)

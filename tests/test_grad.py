@@ -55,6 +55,26 @@ def test_robust_loss_nan_guard():
     assert np.isfinite(np.array(g)).all()
 
 
+def test_robust_scalar_guard_inf_is_zero_step():
+    """+/-inf losses must take the zero-step branch, not the over-limit
+    normalization: inf / stop_grad(inf) is NaN, which would poison the
+    logged window loss (the step itself was already saved by
+    zero_nonfinite_grads)."""
+    from py_psnode_tpu.train.optim import robust_scalar_guard
+
+    for bad in (jnp.inf, -jnp.inf, jnp.nan):
+        out, tripped = robust_scalar_guard(jnp.asarray(bad), limit=1.0)
+        assert bool(tripped)
+        assert float(out) == 0.0
+        g = jax.grad(lambda l: robust_scalar_guard(l, limit=1.0)[0])(
+            jnp.asarray(bad)
+        )
+        assert np.isfinite(float(g))
+    # finite over-limit still normalizes to 1 with 1/stop_grad(l) grads
+    out, tripped = robust_scalar_guard(jnp.asarray(4.0), limit=1.0)
+    assert bool(tripped) and float(out) == 1.0
+
+
 def test_robust_loss_magnitude_guard():
     # every element >= 1e-6 is normalized to value 1 with a
     # direction-preserving gradient 1/stop_grad(l) (ref utils.py:40-42)

@@ -213,14 +213,41 @@ def test_config_validation_errors(avr_data, tmp_path):
         Trainer(TrainConfig(input_true_x=True, n_windows=4, **base))
 
 
-def test_testing_mode_plain_dir_clear_error(avr_data, tmp_path):
-    """--testing pointed at the model OUTPUT directory (not a checkpoint)
-    must fail with a clear message, not an opaque orbax error."""
-    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=1)
+def test_testing_mode_run_dir_selects_best(avr_data, tmp_path):
+    """--testing pointed at the model OUTPUT directory resolves to the
+    best-eval checkpoint (round-4 verdict: one command restores the best
+    epoch); a directory with NO run artifacts still fails with a clear
+    message, not an opaque orbax error."""
+    cfg = _cfg("ode_no_encode", avr_data, tmp_path / "m", epoch=2)
     _, model_path = Trainer(cfg).train()
-    tcfg = _cfg("ode_no_encode", avr_data, model_path, epoch=1)
-    with pytest.raises(ValueError, match="not the model output directory"):
-        Trainer(tcfg).test()
+    tcfg = _cfg("ode_no_encode", avr_data, model_path, epoch=2)
+    result = Trainer(tcfg).test()
+    assert np.isfinite(float(np.asarray(result[0], np.float64)))
+
+    (tmp_path / "empty").mkdir()
+    ecfg = _cfg("ode_no_encode", avr_data, tmp_path / "empty", epoch=1)
+    with pytest.raises(FileNotFoundError, match="train_and_eval"):
+        Trainer(ecfg).test()
+
+
+def test_stop_after_truncates_but_keeps_schedule(avr_data, tmp_path):
+    """stop_after=N runs exactly N epochs of the FULL epoch-schedule run:
+    same checkpoints/evals as the long run's first N epochs, and the lr
+    schedule is sized by cfg.epoch, not by the truncation (the point of the
+    knob — short protocol studies that predict the full run)."""
+    long_cfg = _cfg("ode_no_encode", avr_data, tmp_path / "long", epoch=4)
+    _, long_dir = Trainer(long_cfg).train()
+    cut_cfg = _cfg(
+        "ode_no_encode", avr_data, tmp_path / "cut", epoch=4, stop_after=2
+    )
+    _, cut_dir = Trainer(cut_cfg).train()
+    assert (cut_dir / "model_checkpoint.2").exists()
+    assert not (cut_dir / "model_checkpoint.3").exists()
+    h_long = np.load(long_dir / "train_and_eval.npz", allow_pickle=True)
+    h_cut = np.load(cut_dir / "train_and_eval.npz", allow_pickle=True)
+    np.testing.assert_allclose(
+        _loss_series(h_cut["eval"]), _loss_series(h_long["eval"])[:3]
+    )  # rows: pre-train + epochs 1..2
 
 
 def test_npz_auto_resume_params_only(avr_data, tmp_path):
