@@ -33,6 +33,8 @@ sys.path.insert(0, "/root/repo")
 
 DATA_DAE = pathlib.Path("results/full_envelope")
 DATA_ODE = pathlib.Path("results/full_envelope_ode")
+DATA_MOTOR = pathlib.Path("results/full_envelope_motor")
+DATA_COMPOSITE = pathlib.Path("results/full_envelope_composite")
 
 # guard tags: plain = unguarded BPTT; robust = --robust_loss BPTT;
 # ms = robust multishoot K=20 (kept for dae_no_encode, the round-3 study)
@@ -45,6 +47,14 @@ TAG_FLAGS = {
 VARIANTS = (
     "ode_no_encode", "ode_encode", "dae_no_encode", "dae_encode",
     "ode_channelwise", "dae_channelwise",
+    # round-5 (round-4 verdict #4): the remaining DATA families at the full
+    # envelope — does "robust guard suffices for dae_no_encode" (measured
+    # on SMIB) generalize to the load class? "variant@family" keys flow
+    # through the dae_no_encode trainer on motor / composite ZIP+motor
+    # data. These families use --larger_than none: the reference's π filter
+    # is a rotor-angle threshold, meaningless for slip/current channels
+    # (same choice as the committed motor head-to-heads).
+    "dae_no_encode@motor", "dae_no_encode@composite",
 )
 # which tags each variant runs (dae_no_encode carries the round-3 ms study;
 # dae_channelwise runs ms because BOTH BPTT modes diverge at the envelope —
@@ -53,6 +63,12 @@ VARIANTS = (
 VARIANT_TAGS = {v: ("plain", "robust") for v in VARIANTS}
 VARIANT_TAGS["dae_no_encode"] = ("plain", "ms", "robust")
 VARIANT_TAGS["dae_channelwise"] = ("plain", "robust", "ms")
+
+
+def split_family(variant: str):
+    """'dae_no_encode@motor' -> ('dae_no_encode', 'motor')."""
+    name, _, family = variant.partition("@")
+    return name, family or None
 
 # round-3 model-dir names kept for dae_no_encode so its committed summary
 # stays reproducible from the same paths
@@ -65,10 +81,15 @@ _LEGACY_DIRS = {
 
 def model_dir(variant: str, tag: str) -> pathlib.Path:
     legacy = _LEGACY_DIRS.get((variant, tag))
-    return pathlib.Path(legacy or f"saved_models/envelope/{variant}_{tag}")
+    return pathlib.Path(
+        legacy or f"saved_models/envelope/{variant.replace('@', '_')}_{tag}"
+    )
 
 
 def _variant_flags(variant: str):
+    name, family = split_family(variant)
+    if family:
+        return ["--fused", "--larger_than", "none"]
     if "channelwise" in variant:
         # einsum is the family's fast form at B=64/h=128 (BENCH_DETAILS
         # 10a vs 10c and 10b vs 10d), and the envelope runs ride the
@@ -87,25 +108,37 @@ def _variant_solver(variant: str) -> str:
 def write_data():
     from py_psnode_tpu.data.synthetic import (
         write_avr_dataset,
+        write_composite_dataset,
+        write_motor_dataset,
         write_smib_dataset,
     )
 
     out = []
-    if not (DATA_DAE / "training.npz").exists():
-        out += list(write_smib_dataset(DATA_DAE, n_train=3200, n_test=320,
-                                       n_steps=1001, seed=0))
-    if not (DATA_ODE / "training.npz").exists():
-        out += list(write_avr_dataset(DATA_ODE, n_train=3200, n_test=320,
-                                      n_steps=1001, seed=0))
+    for d, writer in (
+        (DATA_DAE, write_smib_dataset),
+        (DATA_ODE, write_avr_dataset),
+        (DATA_MOTOR, write_motor_dataset),
+        (DATA_COMPOSITE, write_composite_dataset),
+    ):
+        if not (d / "training.npz").exists():
+            out += list(writer(d, n_train=3200, n_test=320,
+                               n_steps=1001, seed=0))
     return out
+
+
+def _data_dir(variant: str) -> pathlib.Path:
+    _, family = split_family(variant)
+    if family:
+        return {"motor": DATA_MOTOR, "composite": DATA_COMPOSITE}[family]
+    return DATA_ODE if variant.startswith("ode") else DATA_DAE
 
 
 def run(variant: str, tag: str):
     from py_psnode_tpu.cli.common import main
 
-    data = DATA_ODE if variant.startswith("ode") else DATA_DAE
+    data = _data_dir(variant)
     main(
-        variant,
+        split_family(variant)[0],
         argv=[
             "--training",
             "--train_data", str(data / "training.npz"),
@@ -158,7 +191,11 @@ def summarize():
                   "published solver, ref script1:75)",
         "init_style": "torch", "seed": 0,
         "data": "ODE variants: AVR regulator (write_avr_dataset, seed 0); "
-                "DAE variants: SMIB generator (write_smib_dataset, seed 0)",
+                "DAE variants: SMIB generator (write_smib_dataset, seed 0); "
+                "@motor/@composite keys: induction-motor / composite "
+                "ZIP+motor load data through the dae_no_encode trainer "
+                "(--larger_than none — the π rotor-angle filter is "
+                "meaningless for slip/current channels)",
         "forward": "fused kernels for the four main variants; "
                    "channel_impl=einsum XLA for the channel-wise pair",
     }, "runs": {}}
