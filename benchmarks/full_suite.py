@@ -468,16 +468,24 @@ def main():
         print("(--t override: results not merged into BENCH_DETAILS.json)")
         return
     out = pathlib.Path(__file__).resolve().parents[1] / "BENCH_DETAILS.json"
-    if out.exists() and only:
-        prev = {r["name"]: r for r in json.loads(out.read_text())["results"]}
-        for r in results:
-            prev[r["name"]] = r
-        results = list(prev.values())
+    extra = {}  # preserve non-results top-level keys (e.g. "notes")
+    if out.exists():
+        doc = json.loads(out.read_text())
+        extra = {k: v for k, v in doc.items()
+                 if k not in ("results", "torch_cpu_baseline")}
+        if only:
+            prev = {r["name"]: r for r in doc["results"]}
+            for r in results:
+                prev[r["name"]] = r
+            results = list(prev.values())
     baseline = None
     pin_file = pathlib.Path(__file__).parent / "baseline_pin.json"
     if pin_file.exists():
         baseline = json.loads(pin_file.read_text())
-    out.write_text(json.dumps({"results": results, "torch_cpu_baseline": baseline}, indent=2))
+    out.write_text(json.dumps(
+        {"results": results, "torch_cpu_baseline": baseline, **extra},
+        indent=2,
+    ))
     print(f"wrote {out}")
 
 
