@@ -112,9 +112,25 @@ def _batch(rng, B, T, dims, dae):
     return b
 
 
-def bench_config(
+def bench_config(*args, tuning=None, **kw):
+    """Exception-safe wrapper: a per-entry kernel-knob override is restored
+    even when the case raises (AOT RET_CHECK cases in the schedule probes
+    must not leak their caps into the next case)."""
+    if not tuning:
+        return _bench_config(*args, **kw)
+    from py_psnode_tpu.ops.fused_dae import kernel_tuning, set_kernel_tuning
+
+    prev_tuning = kernel_tuning()
+    set_kernel_tuning(**tuning)
+    try:
+        return _bench_config(*args, **kw)
+    finally:
+        set_kernel_tuning(**prev_tuning)
+
+
+def _bench_config(
     name, variant_name, B, T, h, solver="rk4", fused=False, iters=30,
-    precision=None, mode="rollout", n_windows=None, tuning=None,
+    precision=None, mode="rollout", n_windows=None,
     data="random", model_kw=None, train_kw=None,
 ):
     import jax
@@ -125,11 +141,7 @@ def bench_config(
         fused_dae_apply,
         fused_dae_encode_apply,
     )
-    from py_psnode_tpu.ops.fused_dae import kernel_tuning, set_kernel_tuning
-
-    if tuning:  # per-entry kernel-knob override, recorded in the result
-        prev_tuning = kernel_tuning()
-        set_kernel_tuning(**tuning)
+    from py_psnode_tpu.ops.fused_dae import kernel_tuning
     from py_psnode_tpu.ops.fused_ode import fused_ode_apply, fused_ode_encode_apply
     from py_psnode_tpu.train.optim import (
         make_optimizer,
@@ -320,8 +332,6 @@ def bench_config(
     flops = train_step_flops(variant_name, B, T, h, dims, solver)
     mfu = (flops / sec / PEAK_FLOPS_V5E * 100.0) if flops else None
     effective_tuning = kernel_tuning()
-    if tuning:
-        set_kernel_tuning(**prev_tuning)
     return {
         "name": name,
         "variant": variant_name,

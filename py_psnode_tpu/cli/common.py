@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--step", type=int, default=1001,
                         help="Length of training series. Default 1001.")
     # TPU-native extras
+    parser.add_argument("--warm_start", type=str, default=None,
+                        help="Initialize params from this checkpoint (file, "
+                             "orbax dir, or a run dir — resolved to its "
+                             "best-eval epoch) and train into --model as "
+                             "usual (fresh optimizer, epoch 1). Unlike "
+                             "--model <ckpt>, no _branch dir coupling.")
     parser.add_argument("--stop_after", type=int, default=0,
                         help="Stop after this many epochs while keeping the "
                              "FULL --epoch lr schedule (truncated protocol "
@@ -219,6 +225,7 @@ def main(variant: str, argv=None):
         hidden=args.hidden,
         epoch=args.epoch,
         stop_after=args.stop_after or None,
+        warm_start=args.warm_start,
         step=args.step,
         learning_rate=args.lr,
         solver=args.solver,

@@ -73,7 +73,8 @@ VMEM_STREAM_BUDGET = 8 * 2**20
 
 
 def choose_blocks(
-    B: int, hidden: int, n_streams: int, tb_max=None, cap=256, state_dim=0
+    B: int, hidden: int, n_streams: int, tb_max=None, cap=None, state_dim=0,
+    kind="fwd",
 ):
     """Pick (batch block, time block) jointly. The rollout is LATENCY-bound
     on its serial dependent-matmul chain, so a bigger batch block is nearly
@@ -97,6 +98,8 @@ def choose_blocks(
     property of our HLO formulation."""
     if tb_max is None:
         tb_max = TIME_BLOCK
+    if cap is None:  # resolve from the tuning knobs (set_kernel_tuning)
+        cap = FWD_CAP if kind == "fwd" else BWD_CAP
     if state_dim >= 128:
         cap = min(cap, 64)
     h = max(hidden, 128)
@@ -274,23 +277,37 @@ FWD_LANES = int(_os.environ.get("PSNODE_FWD_LANES", "2"))
 # kernel IR size grows linearly with it
 TIME_BLOCK = int(_os.environ.get("PSNODE_TIME_BLOCK", "8"))
 
+# batch-block row caps for choose_blocks — the defaults sit exactly at the
+# compiler's RET_CHECK boundaries (see choose_blocks docstring). Exposed as
+# tuning knobs so wide-h shapes that trip the AOT compile service at the
+# default caps can try SMALLER batch blocks (numerics-safe: batch blocks
+# partition independent rows) — round-4 verdict #2.
+FWD_CAP = int(_os.environ.get("PSNODE_FWD_CAP", "256"))
+BWD_CAP = int(_os.environ.get("PSNODE_BWD_CAP", "128"))
 
-def set_kernel_tuning(fwd_lanes=None, time_block=None):
+
+def set_kernel_tuning(fwd_lanes=None, time_block=None, fwd_cap=None,
+                      bwd_cap=None):
     """Set the kernel scheduling knobs process-wide (None keeps the current
     value). The first-class entry points are ``TrainConfig.fwd_lanes /
     time_block`` and the bench-config fields — the ``PSNODE_*`` env vars
     remain as import-time defaults only. Every knob is numerics-safe: lanes
-    partition independent batch rows (bit-exact) and the time block only
-    regroups grid iterations.
+    and batch-block caps partition independent batch rows (bit-exact) and
+    the time block only regroups grid iterations.
 
-    Returns the effective ``{"fwd_lanes", "time_block"}`` so callers
-    (bench harnesses) can record what a run actually used.
+    Returns the effective ``{"fwd_lanes", "time_block", "fwd_cap",
+    "bwd_cap"}`` so callers (bench harnesses) can record what a run
+    actually used.
     """
-    global FWD_LANES, TIME_BLOCK
+    global FWD_LANES, TIME_BLOCK, FWD_CAP, BWD_CAP
     if fwd_lanes is not None:
         FWD_LANES = max(1, int(fwd_lanes))
     if time_block is not None:
         TIME_BLOCK = max(1, int(time_block))
+    if fwd_cap is not None:
+        FWD_CAP = max(1, int(fwd_cap))
+    if bwd_cap is not None:
+        BWD_CAP = max(1, int(bwd_cap))
     return kernel_tuning()
 
 
@@ -299,6 +316,8 @@ def kernel_tuning():
     return {
         "fwd_lanes": FWD_LANES,
         "time_block": TIME_BLOCK,
+        "fwd_cap": FWD_CAP,
+        "bwd_cap": BWD_CAP,
     }
 
 

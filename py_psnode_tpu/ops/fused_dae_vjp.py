@@ -455,7 +455,7 @@ def vjp_time_block(B, h, xd, tf_x):
 
     _, tb_f = choose_blocks(B, h, n_streams=3, state_dim=xd)
     _, tb_b = choose_blocks(
-        B, h, n_streams=9 if tf_x else 6, cap=128, state_dim=xd
+        B, h, n_streams=9 if tf_x else 6, kind="bwd", state_dim=xd
     )
     return min(tb_f, tb_b)
 
@@ -481,10 +481,11 @@ def _run_backward(
     xd = x0.shape[-1]
     idim = i0.shape[-1]
     D = xd + idim
-    # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
+    # kind="bwd" resolves the BWD_CAP knob (default 128 — the bwd-kernel
+    # compiler RET_CHECK boundary; see choose_blocks)
     tf_x = x_true is not None
     bB, _ = choose_blocks(
-        B, h, n_streams=9 if tf_x else 6, cap=128, state_dim=xd
+        B, h, n_streams=9 if tf_x else 6, kind="bwd", state_dim=xd
     )
     nT = Tpad // tb
     assert nT * tb == Tpad

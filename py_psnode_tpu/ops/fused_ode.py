@@ -346,8 +346,9 @@ def _bwd(solver, interpret, precision, residuals, g_sol):
     s_de, weights, x0, dt, sol = residuals
     Tm1, B, h = s_de.shape
     xd = x0.shape[-1]
-    # cap=128 — see choose_blocks on the bwd-kernel compiler RET_CHECK
-    bB, tb0 = choose_blocks(B, h, n_streams=3, cap=128)
+    # kind="bwd" resolves the BWD_CAP knob (default 128 — the bwd-kernel
+    # compiler RET_CHECK boundary; see choose_blocks)
+    bB, tb0 = choose_blocks(B, h, n_streams=3, kind="bwd")
     tb, nT, pad = _time_blocking(Tm1, tb0)
     bB, nB, step, bspec, full = _specs(nT, B, h, reverse=True, tb=tb, bB=bB)
     wflat, n_tail = _flatten(weights)

@@ -74,6 +74,13 @@ class TrainConfig:
     # budget-limited runs — sizing the schedule by a reduced --epoch decays
     # the lr faster, making short runs non-predictive of the full protocol.
     stop_after: Optional[int] = None
+    # initialize params from this checkpoint (file / orbax dir / run dir —
+    # run dirs resolve to their best-eval epoch) WITHOUT the reference's
+    # resume-branch-dir coupling: training writes into cfg.model as usual,
+    # with fresh optimizer state and the epoch counter at 1. Distinct from
+    # auto_resume (same-dir crash recovery) and from --model <ckpt-file>
+    # (reference branch semantics, ref script1:299-305).
+    warm_start: Optional[str] = None
     step: int = 1001
     learning_rate: float = 5e-3
     sch_gamma: float = 0.7
@@ -127,6 +134,11 @@ class TrainConfig:
     # iterations. Recorded per-entry by the bench suite.
     fwd_lanes: Optional[int] = None
     time_block: Optional[int] = None
+    # batch-block row caps (None = compiler-boundary defaults 256/128);
+    # smaller caps are the escape hatch for wide-h shapes the AOT compile
+    # service RET_CHECKs at the defaults (numerics-safe row partitioning)
+    fwd_cap: Optional[int] = None
+    bwd_cap: Optional[int] = None
     # "lecun" (flax default) | "torch" (re-draw params as torch.nn.Linear's
     # kaiming_uniform kernels + U(±1/√fan_in) biases — accuracy-parity
     # studies vs the reference; see models/initializers.py)
@@ -225,10 +237,13 @@ class Trainer:
                 "remat=%r is ignored on the fused path: the fused VJP is "
                 "its own memory policy (O(T*state) residuals).", cfg.remat,
             )
-        if (cfg.fwd_lanes, cfg.time_block) != (None, None):
+        if (cfg.fwd_lanes, cfg.time_block, cfg.fwd_cap, cfg.bwd_cap) != (
+            None, None, None, None,
+        ):
             from py_psnode_tpu.ops.fused_dae import set_kernel_tuning
 
-            set_kernel_tuning(cfg.fwd_lanes, cfg.time_block)
+            set_kernel_tuning(cfg.fwd_lanes, cfg.time_block,
+                              cfg.fwd_cap, cfg.bwd_cap)
         self.n_proc = jax.process_count()
         self.proc_id = jax.process_index()
         self.is_lead = self.proc_id == 0
@@ -812,6 +827,17 @@ class Trainer:
             params = self._put_replicated(load_checkpoint_params(model_path))
             opt_state = tx.init(params)
             model_path = model_path.parent / (model_path.name + "_branch")
+        elif cfg.warm_start:
+            # warm start WITHOUT the reference's branch-dir coupling: init
+            # params from a checkpoint (file, orbax dir, or a run dir —
+            # resolved to its best-eval epoch) and train into cfg.model as
+            # usual. Fresh optimizer state; epoch counter starts at 1. The
+            # lever behind horizon-curriculum recipes (cw_curriculum.py).
+            from py_psnode_tpu.train.checkpoints import resolve_checkpoint
+
+            ws = resolve_checkpoint(pathlib.Path(cfg.warm_start))
+            params = self._put_replicated(load_checkpoint_params(ws))
+            opt_state = tx.init(params)
         model_path.mkdir(parents=True, exist_ok=True)
         ckptr = (
             OrbaxCheckpointer(model_path, keep=cfg.orbax_keep)

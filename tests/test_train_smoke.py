@@ -250,6 +250,26 @@ def test_stop_after_truncates_but_keeps_schedule(avr_data, tmp_path):
     )  # rows: pre-train + epochs 1..2
 
 
+def test_warm_start_inherits_params_no_branch_dir(avr_data, tmp_path):
+    """warm_start initializes params from a donor checkpoint (or run dir →
+    best-eval epoch) and trains into ITS OWN model dir at epoch 1 — no
+    `_branch` coupling (that stays the --model <ckpt-file> reference
+    behavior). Pinned by determinism: the warm-started run's PRE-training
+    eval equals the donor's post-training eval."""
+    _, donor = Trainer(_cfg("ode_no_encode", avr_data, tmp_path / "a")).train()
+    h_a = np.load(donor / "train_and_eval.npz", allow_pickle=True)
+    cfg = _cfg(
+        "ode_no_encode", avr_data, tmp_path / "b", epoch=1,
+        warm_start=str(donor),  # run dir → resolves to best-eval epoch
+    )
+    _, bdir = Trainer(cfg).train()
+    assert bdir == tmp_path / "b" and not (tmp_path / "b_branch").exists()
+    h_b = np.load(bdir / "train_and_eval.npz", allow_pickle=True)
+    a_evals = _loss_series(h_a["eval"])
+    best_a = min(e for e in a_evals if np.isfinite(e))
+    np.testing.assert_allclose(_loss_series(h_b["eval"])[0], best_a, rtol=1e-6)
+
+
 def test_npz_auto_resume_params_only(avr_data, tmp_path):
     """auto_resume over npz snapshots restores params and logs the
     optimizer-restart caveat."""
@@ -528,11 +548,17 @@ def test_kernel_tuning_config(avr_data, tmp_path):
     try:
         cfg = _cfg(
             "ode_no_encode", avr_data, tmp_path / "m", epoch=1,
-            fwd_lanes=1, time_block=4,
+            fwd_lanes=1, time_block=4, fwd_cap=128, bwd_cap=64,
         )
         Trainer(cfg)  # construction applies the knobs process-wide
         now = kernel_tuning()
         assert now["fwd_lanes"] == 1 and now["time_block"] == 4
+        assert now["fwd_cap"] == 128 and now["bwd_cap"] == 64
+        # choose_blocks resolves cap=None from the knobs by kind
+        from py_psnode_tpu.ops.fused_dae import choose_blocks
+
+        assert choose_blocks(256, 128, n_streams=3)[0] <= 128
+        assert choose_blocks(256, 128, n_streams=3, kind="bwd")[0] <= 64
     finally:
         set_kernel_tuning(**before)
 
