@@ -67,13 +67,13 @@ def run():
             r = subprocess.run(argv)
             if r.returncode != 0:
                 print(f"!!! {tag} failed rc={r.returncode}", flush=True)
-                return
+                sys.exit(1)  # nonzero so a retrying chain re-enters here
         from py_psnode_tpu.train.checkpoints import best_checkpoint
 
         best = best_checkpoint(stage_dir(tag))
         if best is None:
             print(f"!!! {tag} produced no finite-eval checkpoint", flush=True)
-            return
+            sys.exit(1)
         print(f"{tag}: best eval x at epoch {best[0]}: {best[2]:.6g}",
               flush=True)
         prev_best = str(best[1])
