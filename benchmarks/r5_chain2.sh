@@ -24,6 +24,10 @@ wait_pid() {  # let a pre-existing chip client finish on its own (never kill)
 }
 
 health_wait() {
+  # also hold while the single host core is claimed by a foreground job
+  # (e.g. the pytest suite): starving a stepping chip client's host leg can
+  # hang its tunnel RPC forever (CLAUDE.md, observed 2026-08-19)
+  while [ -e /tmp/r5_host_busy ]; do say "host busy flag set, hold"; sleep 120; done
   until timeout 240 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
     say "pool unhealthy, re-probe in 600s"
     sleep 600
@@ -34,6 +38,7 @@ health_wait() {
 stage() {  # stage <name> <logfile> <cmd...>
   local name=$1 lf=$2 rc; shift 2
   if [ -e "/tmp/r5_skip_$name" ]; then say "$name SKIPPED (flag file)"; return; fi
+  while [ -e /tmp/r5_host_busy ]; do say "host busy flag set, hold"; sleep 120; done
   say "--- $name start"
   "$@" > "$lf" 2>&1; rc=$?
   if [ $rc -ne 0 ]; then
