@@ -95,11 +95,28 @@ def choose_blocks(
     accumulator dots chunked to 128-row partials and every explicit
     weight ``.T`` replaced by last-axis-contracting dot_generals — the
     boundary is internal to the Mosaic/XLA transpose scheduler, not a
-    property of our HLO formulation."""
+    property of our HLO formulation.
+
+    Round-5 addendum: under the chipless AOT compile service the backward
+    boundary at ``hidden >= 256`` moved to 64 rows (wideh_sched_probe.json
+    — cap=64 compiles fresh AND runs 29.1% MFU at h=512 bf16, above the
+    cached round-3 full-height record), so the default backward cap is
+    ``BWD_CAP_WIDE`` (64) there and ``BWD_CAP`` (128) at h=128."""
     if tb_max is None:
         tb_max = TIME_BLOCK
     if cap is None:  # resolve from the tuning knobs (set_kernel_tuning)
-        cap = FWD_CAP if kind == "fwd" else BWD_CAP
+        if kind == "fwd":
+            cap = FWD_CAP
+        else:
+            # Wide-h backward default (round-5, wideh_sched_probe.json):
+            # under the chipless AOT compile service every bwd kernel at
+            # h>=256 either RET_CHECKs (f32) or compiles 25x-slow (h=512
+            # bf16) at cap=128 full-height blocks, while cap=64 compiles
+            # FRESH everywhere probed and is also the fastest sub-128
+            # schedule (29.1% MFU at B=256/h=512 bf16 — above the cached
+            # round-3 record). h=128 keeps cap=128 (fleet_sched_probe:
+            # cap=64 loses 21% there).
+            cap = BWD_CAP if hidden < 256 else BWD_CAP_WIDE
     if state_dim >= 128:
         cap = min(cap, 64)
     h = max(hidden, 128)
@@ -284,10 +301,15 @@ TIME_BLOCK = int(_os.environ.get("PSNODE_TIME_BLOCK", "8"))
 # partition independent rows) — round-4 verdict #2.
 FWD_CAP = int(_os.environ.get("PSNODE_FWD_CAP", "256"))
 BWD_CAP = int(_os.environ.get("PSNODE_BWD_CAP", "128"))
+# backward batch-block cap at hidden >= 256 — the fresh-compile-safe fast
+# point under the AOT compile service (round-5 wideh_sched_probe.json; see
+# choose_blocks). Deliberately separate from BWD_CAP: h=128 shapes are
+# fastest at 128-row blocks, wide-h shapes at 64.
+BWD_CAP_WIDE = int(_os.environ.get("PSNODE_BWD_CAP_WIDE", "64"))
 
 
 def set_kernel_tuning(fwd_lanes=None, time_block=None, fwd_cap=None,
-                      bwd_cap=None):
+                      bwd_cap=None, bwd_cap_wide=None):
     """Set the kernel scheduling knobs process-wide (None keeps the current
     value). The first-class entry points are ``TrainConfig.fwd_lanes /
     time_block`` and the bench-config fields — the ``PSNODE_*`` env vars
@@ -299,7 +321,7 @@ def set_kernel_tuning(fwd_lanes=None, time_block=None, fwd_cap=None,
     "bwd_cap"}`` so callers (bench harnesses) can record what a run
     actually used.
     """
-    global FWD_LANES, TIME_BLOCK, FWD_CAP, BWD_CAP
+    global FWD_LANES, TIME_BLOCK, FWD_CAP, BWD_CAP, BWD_CAP_WIDE
     if fwd_lanes is not None:
         FWD_LANES = max(1, int(fwd_lanes))
     if time_block is not None:
@@ -307,7 +329,13 @@ def set_kernel_tuning(fwd_lanes=None, time_block=None, fwd_cap=None,
     if fwd_cap is not None:
         FWD_CAP = max(1, int(fwd_cap))
     if bwd_cap is not None:
+        # an explicit bwd_cap wins at EVERY hidden size (probe semantics:
+        # bench sweeps pass one cap and expect it applied); bwd_cap_wide
+        # after it narrows just the h>=256 schedule
         BWD_CAP = max(1, int(bwd_cap))
+        BWD_CAP_WIDE = BWD_CAP
+    if bwd_cap_wide is not None:
+        BWD_CAP_WIDE = max(1, int(bwd_cap_wide))
     return kernel_tuning()
 
 
@@ -318,6 +346,7 @@ def kernel_tuning():
         "time_block": TIME_BLOCK,
         "fwd_cap": FWD_CAP,
         "bwd_cap": BWD_CAP,
+        "bwd_cap_wide": BWD_CAP_WIDE,
     }
 
 

@@ -134,9 +134,11 @@ class TrainConfig:
     # iterations. Recorded per-entry by the bench suite.
     fwd_lanes: Optional[int] = None
     time_block: Optional[int] = None
-    # batch-block row caps (None = compiler-boundary defaults 256/128);
-    # smaller caps are the escape hatch for wide-h shapes the AOT compile
-    # service RET_CHECKs at the defaults (numerics-safe row partitioning)
+    # batch-block row caps (None = compiler-boundary defaults: fwd 256,
+    # bwd 128 at h=128 / 64 at h>=256 — the wide-h backward default is the
+    # fresh-compile-safe fast point under the AOT compile service,
+    # wideh_sched_probe.json); explicit values are numerics-safe row
+    # partitioning and win at every hidden size
     fwd_cap: Optional[int] = None
     bwd_cap: Optional[int] = None
     # "lecun" (flax default) | "torch" (re-draw params as torch.nn.Linear's

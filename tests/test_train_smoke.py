@@ -559,6 +559,35 @@ def test_kernel_tuning_config(avr_data, tmp_path):
 
         assert choose_blocks(256, 128, n_streams=3)[0] <= 128
         assert choose_blocks(256, 128, n_streams=3, kind="bwd")[0] <= 64
+        # explicit bwd_cap also pins the wide-h schedule (probe semantics)
+        assert now["bwd_cap_wide"] == 64
+        assert choose_blocks(256, 512, n_streams=3, kind="bwd")[0] <= 64
+    finally:
+        set_kernel_tuning(**before)
+
+
+def test_choose_blocks_wide_h_default():
+    """Default backward schedule at h>=256 is the fresh-compile-safe 64-row
+    cap (round-5 wideh_sched_probe.json: cap=64 dodges both AOT compile-
+    service regressions and hits 29.1% MFU at h=512 bf16); h=128 keeps the
+    faster 128-row cap (fleet_sched_probe.json: 64 loses 21% there)."""
+    from py_psnode_tpu.ops.fused_dae import (
+        choose_blocks, kernel_tuning, set_kernel_tuning,
+    )
+
+    before = kernel_tuning()
+    try:
+        set_kernel_tuning(fwd_lanes=2, time_block=8, fwd_cap=256,
+                          bwd_cap=128, bwd_cap_wide=64)
+        assert choose_blocks(256, 128, n_streams=6, kind="bwd")[0] == 128
+        assert choose_blocks(256, 256, n_streams=6, kind="bwd")[0] == 64
+        assert choose_blocks(256, 512, n_streams=6, kind="bwd")[0] == 64
+        # forward path is untouched by the wide-bwd default
+        assert choose_blocks(256, 256, n_streams=3)[0] == 256
+        # independent wide override narrows only h>=256
+        set_kernel_tuning(bwd_cap_wide=32)
+        assert choose_blocks(256, 512, n_streams=6, kind="bwd")[0] == 32
+        assert choose_blocks(256, 128, n_streams=6, kind="bwd")[0] == 128
     finally:
         set_kernel_tuning(**before)
 
